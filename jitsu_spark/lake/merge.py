@@ -1,0 +1,311 @@
+"""CDC MERGE kernel: apply a micro-batch of i/u/d envelopes to a LakeTable.
+
+The batch is a DataFrame with envelope columns ``seq`` (global offset,
+last-writer-wins tiebreaker) and ``op`` ('i'/'u'/'d'), plus the full-row
+payload image including the merge key. Equivalent SQL (what this would be
+on Iceberg):
+
+    MERGE INTO target t USING dedup_updates s ON t.<key> = s.<key>
+    WHEN MATCHED AND s.op = 'd' THEN DELETE
+    WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED AND s.op != 'd' THEN INSERT *
+
+Physical plan, chosen for 10^10-event scale:
+
+1. **LWW reduce via aggregation, not a window.**
+   ``groupBy(key).agg(max_by(struct(payload, op), seq))`` — a hash
+   aggregate with map-side partial combine. A hot key (20 % of a batch on
+   one doc_id) collapses to ONE row per map task before the shuffle, so
+   key skew self-defuses: the shuffle carries at most n_map_tasks rows for
+   the hottest key. A ``row_number() OVER (PARTITION BY key)`` window would
+   instead shuffle every duplicate to one reducer — that is the skew trap
+   this design avoids. (Generic salted aggregation for non-reducible aggs
+   lives in operators/salting.py.)
+2. **Bucket pruning.** Affected buckets = distinct
+   ``pmod(xxhash64(key), n_buckets)`` over the reduced updates (collected
+   driver-side — bounded by n_buckets rows). Only those buckets' files are
+   read.
+3. **Zero-shuffle CoW rewrite.** survivors = existing-bucket-scan
+   LEFT ANTI JOIN (broadcast) update-keys; result = survivors UNION ALL
+   new-images. The big existing side is never shuffled and never leaves
+   its scan partitioning; only the (already reduced) updates take one
+   small repartition to keep output file counts at ~1 file per bucket.
+4. **Exactly-once.** ``job_id/batch_id`` is recorded inside the same
+   atomic snapshot commit that publishes the data files; replays of an
+   already-committed batch (foreachBatch is at-least-once) are skipped.
+5. **Schema evolution in-commit.** The batch's payload schema is diffed
+   against the table's logical schema (typesys/evolution.py); adds/widens
+   land in the same snapshot, and the incoming frame is cast once.
+
+Correctness invariants (tested in tests/test_merge.py):
+- later seq wins within a batch and across batches (monotone replay);
+- a delete tombstones the key; a replayed older insert cannot resurrect it
+  within a batch (LWW) or across batches (the delete batch committed);
+- duplicate delivery of the same seq is idempotent;
+- merge keys never change type (frozen in evolution).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
+
+from jitsu_spark.lake.metadata import CommitConflict, Snapshot
+from jitsu_spark.lake.table import BUCKET_COL, LakeTable
+from jitsu_spark.typesys.align import alignment_columns
+from jitsu_spark.typesys.evolution import plan_evolution
+
+OP_INSERT, OP_UPDATE, OP_DELETE = "i", "u", "d"
+
+
+@dataclass
+class MergeResult:
+    version: int
+    skipped: bool = False
+    n_keys: int = 0
+    n_deletes: int = 0
+    affected_buckets: list[int] = field(default_factory=list)
+    seq_min: int | None = None
+    seq_max: int | None = None
+    schema_changed: bool = False
+    wall_s: float = 0.0
+
+
+def merge_batch(
+    table: LakeTable,
+    batch_df: DataFrame,
+    batch_id: int | str | None = None,
+    job_id: str = "stream",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    broadcast_key_threshold: int = 4_000_000,
+    max_commit_retries: int = 5,
+) -> MergeResult:
+    """Apply one micro-batch. Retries the whole merge on commit conflicts
+    (optimistic concurrency); single-writer deployments never retry."""
+    last: CommitConflict | None = None
+    for _ in range(max_commit_retries):
+        try:
+            return _merge_once(
+                table, batch_df, batch_id, job_id, seq_col, op_col,
+                broadcast_key_threshold,
+            )
+        except CommitConflict as e:  # concurrent writer won this version
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def _commit_key(job_id: str, batch_id) -> str:
+    return f"{job_id}/{batch_id}"
+
+
+def _merge_once(
+    table: LakeTable,
+    batch_df: DataFrame,
+    batch_id,
+    job_id: str,
+    seq_col: str,
+    op_col: str,
+    broadcast_key_threshold: int,
+) -> MergeResult:
+    t0 = time.time()
+    snap = table.snapshot()
+    key = snap.key_field
+    if batch_id is not None and _commit_key(job_id, batch_id) in snap.committed:
+        return MergeResult(version=snap.version, skipped=True)
+
+    payload_fields = [
+        f for f in batch_df.schema.fields if f.name not in (seq_col, op_col)
+    ]
+    if key not in [f.name for f in payload_fields]:
+        raise ValueError(f"batch is missing merge key column {key!r}")
+    payload_schema = T.StructType(payload_fields)
+    others = [f.name for f in payload_fields if f.name != key]
+
+    # 1. LWW reduce (hash agg, partial combine — see module docstring).
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in others], F.col(op_col).alias("_op")),
+        F.col(seq_col),
+    ).alias("_w")
+    upd = (
+        batch_df.groupBy(key)
+        .agg(
+            winner,
+            F.min(seq_col).alias("_seq_min"),
+            F.max(seq_col).alias("_seq_max"),
+        )
+        .select(key, "_w.*", "_seq_min", "_seq_max")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        # 2. Affected buckets + batch stats in one small collect.
+        stats = (
+            upd.groupBy(table.bucket_expr(F.col(key)).alias(BUCKET_COL))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("_op") == OP_DELETE).cast("long")).alias("nd"),
+                F.min("_seq_min").alias("smin"),
+                F.max("_seq_max").alias("smax"),
+            )
+            .collect()
+        )
+        n_keys = sum(r["n"] for r in stats)
+        n_deletes = sum(r["nd"] for r in stats)
+        affected = sorted(int(r[BUCKET_COL]) for r in stats)
+        seq_min = min((r["smin"] for r in stats), default=None)
+        seq_max = max((r["smax"] for r in stats), default=None)
+
+        # 3. Schema evolution plan (driver-side, schemas only).
+        plan = plan_evolution(
+            T.StructType.fromJson(json.loads(snap.schema_json)),
+            payload_schema,
+            frozen=(key,),
+        )
+        target = plan.target
+
+        new_files: dict[str, list[str]] = {}
+        if n_keys > 0:
+            # 4. CoW rewrite of affected buckets.
+            existing = table.read(buckets=affected, snap=snap)
+            existing = existing.select(*alignment_columns(existing, target))
+            keys_df = upd.select(key)
+            if n_keys <= broadcast_key_threshold:
+                keys_df = F.broadcast(keys_df)
+            survivors = existing.join(keys_df, on=key, how="left_anti")
+
+            new_rows = (
+                upd.filter(F.col("_op") != OP_DELETE)
+                .select(*alignment_columns(upd, target))
+                .repartition(max(len(affected), 1), table.bucket_expr(F.col(key)))
+            )
+            result = survivors.unionByName(new_rows).withColumn(
+                BUCKET_COL, table.bucket_expr(F.col(key))
+            )
+            new_files = table._write_files(result)
+
+        # 5. Atomic snapshot commit (data + manifest + lineage + schema).
+        schemas = dict(snap.schemas)
+        sid = snap.current_schema_id
+        if plan.changed:
+            sid = str(max(int(s) for s in schemas) + 1)
+            schemas[sid] = target.json()
+        files = dict(snap.files)
+        for b in affected:
+            bs = str(b)
+            if bs in new_files:
+                files[bs] = [
+                    {"path": p, "schema_id": sid} for p in new_files[bs]
+                ]
+            else:
+                files.pop(bs, None)  # bucket fully deleted
+        committed = list(snap.committed)
+        if batch_id is not None:
+            committed.append(_commit_key(job_id, batch_id))
+        lineage = snap.lineage + [
+            {
+                "kind": "merge",
+                "job_id": job_id,
+                "batch_id": batch_id,
+                "seq_min": seq_min,
+                "seq_max": seq_max,
+                "n_keys": n_keys,
+                "n_deletes": n_deletes,
+                "buckets": affected,
+                "schema_added": plan.added,
+                "schema_widened": plan.widened,
+                "wall_s": round(time.time() - t0, 3),
+            }
+        ]
+        new_snap = Snapshot(
+            version=snap.version + 1,
+            key_field=snap.key_field,
+            n_buckets=snap.n_buckets,
+            schema_json=target.json(),
+            schemas=schemas,
+            current_schema_id=sid,
+            files=files,
+            committed=committed,
+            lineage=lineage,
+            properties=snap.properties,
+            parent=snap.version,
+        )
+        table._commit(new_snap)
+        return MergeResult(
+            version=new_snap.version,
+            n_keys=n_keys,
+            n_deletes=n_deletes,
+            affected_buckets=affected,
+            seq_min=seq_min,
+            seq_max=seq_max,
+            schema_changed=plan.changed,
+            wall_s=time.time() - t0,
+        )
+    finally:
+        upd.unpersist()
+
+
+def append_batch(
+    table: LakeTable,
+    batch_df: DataFrame,
+    batch_id=None,
+    job_id: str = "append",
+) -> MergeResult:
+    """Insert-only fast path (the reference's no-primary-key mode): pure
+    file append, no bucket read/rewrite, O(batch) work regardless of table
+    size. Duplicate keys are allowed — this is what 'no PK configured'
+    means in the reference (factory.go:238-244 semantics)."""
+    t0 = time.time()
+    snap = table.snapshot()
+    if batch_id is not None and _commit_key(job_id, batch_id) in snap.committed:
+        return MergeResult(version=snap.version, skipped=True)
+    key = snap.key_field
+    plan = plan_evolution(
+        T.StructType.fromJson(json.loads(snap.schema_json)),
+        T.StructType([f for f in batch_df.schema.fields]),
+        frozen=(key,),
+    )
+    target = plan.target
+    df = batch_df.select(*alignment_columns(batch_df, target)).withColumn(
+        BUCKET_COL, table.bucket_expr(F.col(key))
+    )
+    new_files = table._write_files(df)
+    schemas = dict(snap.schemas)
+    sid = snap.current_schema_id
+    if plan.changed:
+        sid = str(max(int(s) for s in schemas) + 1)
+        schemas[sid] = target.json()
+    files = {b: list(es) for b, es in snap.files.items()}
+    for b, paths in new_files.items():
+        files.setdefault(b, []).extend(
+            {"path": p, "schema_id": sid} for p in paths
+        )
+    committed = list(snap.committed)
+    if batch_id is not None:
+        committed.append(_commit_key(job_id, batch_id))
+    new_snap = Snapshot(
+        version=snap.version + 1,
+        key_field=snap.key_field,
+        n_buckets=snap.n_buckets,
+        schema_json=target.json(),
+        schemas=schemas,
+        current_schema_id=sid,
+        files=files,
+        committed=committed,
+        lineage=snap.lineage
+        + [{"kind": "append", "job_id": job_id, "batch_id": batch_id}],
+        properties=snap.properties,
+        parent=snap.version,
+    )
+    table._commit(new_snap)
+    return MergeResult(
+        version=new_snap.version,
+        affected_buckets=sorted(int(b) for b in new_files),
+        schema_changed=plan.changed,
+        wall_s=time.time() - t0,
+    )

@@ -1,0 +1,226 @@
+"""Bucketed parquet lake table with snapshot isolation and schema evolution.
+
+Scale design (the part that must survive 100 TB / 1000 executors):
+
+- **Hash-bucketed layout.** Every row lives in bucket
+  ``pmod(xxhash64(key), n_buckets)``; a bucket is a directory of parquet
+  files tracked in the snapshot. A CDC merge touches ONLY the buckets that
+  contain changed keys — bucket pruning happens at the metadata layer
+  (driver-side file-list selection), strictly better than relying on
+  catalog partition discovery. Size ``n_buckets`` so one bucket's live data
+  fits a task comfortably (e.g. 100 TB / 4096 buckets ≈ 25 GB per bucket,
+  split further into parquet row-groups → many input splits per bucket).
+- **Copy-on-write per bucket, zero-shuffle rewrite.** The merge rewrites an
+  affected bucket by streaming its files through a broadcast anti-join
+  (see merge.py) — the big existing side never shuffles.
+- **Reads are pruned + aligned.** Files record the physical schema id they
+  were written under; the reader groups files by schema id, reads each
+  group with its exact schema (no inference, no mergeSchema scan), and
+  casts to the current logical schema in one projection.
+- **Atomic snapshot commits** (metadata.py) give readers snapshot isolation
+  and writers optimistic concurrency.
+
+This is the same architecture as Iceberg CoW tables; it exists from scratch
+here because the sandbox has no lakehouse jars. On a real cluster the
+public API of this class maps onto Iceberg DDL + MERGE INTO directly.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jitsu_spark.lake import metadata as md
+from jitsu_spark.lake.metadata import CommitConflict, Snapshot
+from jitsu_spark.typesys.align import align_to_schema
+
+BUCKET_COL = "_jb"  # internal bucket column used only around writes
+
+
+@dataclass
+class CommitResult:
+    version: int
+    skipped: bool = False
+    n_rows: int | None = None
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_field: str,
+        n_buckets: int = 16,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        if key_field not in schema.fieldNames():
+            raise ValueError(f"key field {key_field!r} not in schema")
+        kt = schema[key_field].dataType
+        if isinstance(kt, (T.ArrayType, T.StructType, T.MapType)):
+            raise ValueError("key field must be scalar (never key on arrays)")
+        snap = Snapshot(
+            version=0,
+            key_field=key_field,
+            n_buckets=n_buckets,
+            schema_json=schema.json(),
+            schemas={"0": schema.json()},
+            current_schema_id="0",
+            files={},
+            properties=properties or {},
+            parent=None,
+        )
+        md.init_table_dir(os.path.abspath(root), snap)
+        return LakeTable(spark, root)
+
+    @staticmethod
+    def load(spark: SparkSession, root: str) -> "LakeTable":
+        md.current_version(os.path.abspath(root))  # raises if absent
+        return LakeTable(spark, root)
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        try:
+            md.current_version(os.path.abspath(root))
+            return True
+        except FileNotFoundError:
+            return False
+
+    # -- snapshot / schema --------------------------------------------------
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        return md.load_snapshot(self.root, version)
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(
+            __import__("json").loads(self.snapshot(version).schema_json)
+        )
+
+    def bucket_expr(self, key_col) -> F.Column:
+        n = self.snapshot().n_buckets
+        return F.pmod(F.xxhash64(key_col), F.lit(n)).cast("int")
+
+    # -- read path ----------------------------------------------------------
+
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        snap: Snapshot | None = None,
+    ) -> DataFrame:
+        """Snapshot-consistent scan, pruned to ``buckets`` if given.
+
+        Files are grouped by physical schema id; each group is read with its
+        exact schema (no footer-merging scan) and cast to the logical schema
+        in a single projection.
+        """
+        snap = snap or self.snapshot(version)
+        logical = T.StructType.fromJson(__import__("json").loads(snap.schema_json))
+        wanted = (
+            set(str(b) for b in buckets) if buckets is not None else set(snap.files)
+        )
+        by_sid: dict[str, list[str]] = {}
+        for b, entries in snap.files.items():
+            if b not in wanted:
+                continue
+            for e in entries:
+                by_sid.setdefault(e["schema_id"], []).append(
+                    os.path.join(self.root, e["path"])
+                )
+        parts: list[DataFrame] = []
+        for sid, paths in by_sid.items():
+            phys = T.StructType.fromJson(__import__("json").loads(snap.schemas[sid]))
+            df = self.spark.read.schema(phys).parquet(*paths)
+            parts.append(align_to_schema(df, logical))
+        if not parts:
+            return self.spark.createDataFrame([], logical)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- write path (internal; public entry points are in merge.py) ---------
+
+    def _write_files(self, df_with_bucket: DataFrame) -> dict[str, list[str]]:
+        """Write ``df`` (carrying BUCKET_COL) under a fresh commit-token dir,
+        one subdir per bucket; returns {bucket: [relative paths]}.
+
+        No shuffle is introduced here: ``partitionBy`` splits by value within
+        each task, and upstream merge plans keep each task single-bucket.
+        """
+        token = uuid.uuid4().hex[:12]
+        rel_dir = os.path.join("data", f"c-{token}")
+        out_dir = os.path.join(self.root, rel_dir)
+        (
+            df_with_bucket.write.partitionBy(BUCKET_COL)
+            .mode("error")
+            .parquet(out_dir)
+        )
+        files: dict[str, list[str]] = {}
+        if os.path.isdir(out_dir):
+            for d in os.listdir(out_dir):
+                if not d.startswith(f"{BUCKET_COL}="):
+                    continue
+                b = d.split("=", 1)[1]
+                for fn in os.listdir(os.path.join(out_dir, d)):
+                    if fn.endswith(".parquet"):
+                        files.setdefault(b, []).append(os.path.join(rel_dir, d, fn))
+        return files
+
+    def _commit(self, snap: Snapshot) -> None:
+        md.commit_snapshot(self.root, snap)
+
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self, max_files_per_bucket: int = 8) -> CommitResult:
+        """Rewrite fragmented buckets (small-file compaction).
+
+        CoW merges add a few files per affected bucket per micro-batch; this
+        folds any bucket whose file count exceeds the threshold back to one
+        file. Analogous to Iceberg rewrite_data_files.
+        """
+        snap = self.snapshot()
+        frag = [b for b, es in snap.files.items() if len(es) > max_files_per_bucket]
+        if not frag:
+            return CommitResult(version=snap.version, skipped=True)
+        df = self.read(buckets=[int(b) for b in frag], snap=snap)
+        key = snap.key_field
+        df = df.withColumn(BUCKET_COL, self.bucket_expr(F.col(key)))
+        df = df.repartition(len(frag), F.col(BUCKET_COL))
+        new_files = self._write_files(df)
+        files = dict(snap.files)
+        for b in frag:
+            if b in new_files:
+                files[b] = [{"path": p, "schema_id": snap.current_schema_id}
+                            for p in new_files[b]]
+            else:
+                files.pop(b, None)
+        new_snap = Snapshot(
+            version=snap.version + 1,
+            key_field=snap.key_field,
+            n_buckets=snap.n_buckets,
+            schema_json=snap.schema_json,
+            schemas=snap.schemas,
+            current_schema_id=snap.current_schema_id,
+            files=files,
+            committed=snap.committed,
+            lineage=snap.lineage + [{"kind": "compact", "buckets": frag}],
+            properties=snap.properties,
+            parent=snap.version,
+        )
+        self._commit(new_snap)
+        return CommitResult(version=new_snap.version)
+
+    def history(self) -> list[dict]:
+        return list(self.snapshot().lineage)

@@ -1,0 +1,122 @@
+"""Structured Streaming CDC job: tail a change-log directory, MERGE each
+micro-batch into a LakeTable.
+
+One streaming job replaces both of the reference's modes
+(stream worker + periodic batch uploader — duality per SURVEY.md §1.4):
+``trigger(availableNow=True)`` replays a backlog as a sequence of
+micro-batches and stops; a processing-time trigger tails continuously.
+
+Exactly-once = three cooperating layers:
+1. Spark's checkpoint (offset + commit log) makes micro-batch composition
+   deterministic across restarts,
+2. ``foreachBatch`` is at-least-once, so merge_batch records
+   ``job_id/batch_id`` in the table's commit manifest inside the atomic
+   snapshot commit — a replayed batch is skipped,
+3. every transform upstream of the sink is deterministic (ids come from
+   the log or md5 — never uuid() — per SURVEY.md §7.4).
+
+Resume-from-checkpoint therefore needs no operator support: kill the job at
+any point, restart with the same checkpoint dir + job_id, and the final
+table state is identical (tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from jitsu_spark.lake.merge import MergeResult, merge_batch
+from jitsu_spark.lake.table import LakeTable
+
+
+@dataclass
+class CdcStreamJob:
+    """Config + driver for one change-log -> lake-table stream."""
+
+    table: LakeTable
+    source_dir: str
+    checkpoint_dir: str
+    job_id: str = "cdc"
+    source_format: str = "parquet"  # or "json" (NDJSON lines)
+    source_schema: T.StructType | None = None
+    max_files_per_trigger: int | None = None
+    transform: Callable[[DataFrame], DataFrame] | None = None  # pre-merge stage
+    results: list[MergeResult] = field(default_factory=list)
+
+    def _reader(self, spark: SparkSession):
+        reader = spark.readStream
+        if self.source_schema is not None:
+            reader = reader.schema(self.source_schema)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(self.max_files_per_trigger))
+        if self.source_format == "parquet":
+            return reader.parquet(self.source_dir)
+        if self.source_format == "json":
+            return reader.json(self.source_dir)
+        raise ValueError(f"unsupported source format {self.source_format!r}")
+
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.transform is not None:
+            batch_df = self.transform(batch_df)
+        res = merge_batch(
+            self.table, batch_df, batch_id=batch_id, job_id=self.job_id
+        )
+        self.results.append(res)
+
+    def run_available_now(self, spark: SparkSession, timeout_s: int = 600) -> list[MergeResult]:
+        """Replay the current backlog to completion and stop (the batch
+        mode of SURVEY.md §1.4); resumable via the checkpoint."""
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        q = (
+            self._reader(spark)
+            .writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(self.job_id)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
+        if q.exception() is not None:
+            raise q.exception()
+        return self.results
+
+    def start_continuous(self, spark: SparkSession, processing_time: str = "5 seconds"):
+        """Tail the log continuously (stream mode). Caller manages the query."""
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        return (
+            self._reader(spark)
+            .writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(self.job_id)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
+
+    # -- observability -------------------------------------------------------
+
+    def metrics(self) -> dict:
+        """Throughput/lag metrics across processed batches (A3/ST5 analog:
+        counters + per-partition lineage live in the table's snapshot)."""
+        done = [r for r in self.results if not r.skipped]
+        total_keys = sum(r.n_keys for r in done)
+        total_wall = sum(r.wall_s for r in done)
+        return {
+            "batches": len(self.results),
+            "batches_skipped_already_committed": len(self.results) - len(done),
+            "upserted_keys": total_keys,
+            "deleted_keys": sum(r.n_deletes for r in done),
+            "wall_s": round(total_wall, 3),
+            "keys_per_sec": round(total_keys / total_wall, 1) if total_wall else None,
+            "seq_range": [
+                min((r.seq_min for r in done if r.seq_min is not None), default=None),
+                max((r.seq_max for r in done if r.seq_max is not None), default=None),
+            ],
+        }

@@ -1,0 +1,115 @@
+"""Structured Streaming end-to-end: availableNow replay, exactly-once across
+restarts, resume-from-checkpoint mid-log (FIXTURES.md §5)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from jitsu_spark.changelog import (
+    CHANGELOG_SCHEMA,
+    assert_matches_oracle,
+    changelog_df,
+    dict_replay,
+)
+from jitsu_spark.lake import LakeTable
+from jitsu_spark.streaming import CdcStreamJob
+from tests.test_merge import TARGET_SCHEMA
+
+
+def _write_log_chunks(log, out_dir, boundaries):
+    """Write contiguous seq ranges as separate parquet drops (one file each),
+    emulating rotated incoming log files arriving over time."""
+    prev = 0
+    for i, b in enumerate(boundaries):
+        chunk = log.filter((F.col("seq") >= prev) & (F.col("seq") < b))
+        chunk.coalesce(1).write.mode("append").parquet(out_dir)
+        prev = b
+
+
+def test_stream_replay_matches_oracle(spark, tmpdir_path):
+    log = changelog_df(spark, n_events=3000, n_docs=200, seed=11, dup_pct=0.03)
+    expected = dict_replay([r.asDict(recursive=True) for r in log.collect()])
+
+    src = os.path.join(tmpdir_path, "log")
+    _write_log_chunks(log, src, [1000, 2000, 3000])
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), TARGET_SCHEMA, "doc_id", n_buckets=8
+    )
+    job = CdcStreamJob(
+        table=table,
+        source_dir=src,
+        checkpoint_dir=os.path.join(tmpdir_path, "ckpt"),
+        source_schema=CHANGELOG_SCHEMA,
+        max_files_per_trigger=1,
+        job_id="t-replay",
+    )
+    results = job.run_available_now(spark)
+    assert len([r for r in results if not r.skipped]) >= 3
+    assert_matches_oracle(table.read(), expected)
+    m = job.metrics()
+    assert m["upserted_keys"] > 0 and m["seq_range"][1] == 2999
+
+
+def test_stream_resume_from_checkpoint(spark, tmpdir_path):
+    """Process half the log, 'crash', drop more files, restart with the same
+    checkpoint + job_id: final state equals the oracle, and re-delivered
+    batches are skipped by the commit manifest."""
+    log = changelog_df(spark, n_events=2000, n_docs=150, seed=13)
+    expected = dict_replay([r.asDict(recursive=True) for r in log.collect()])
+
+    src = os.path.join(tmpdir_path, "log")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    _write_log_chunks(log, src, [500, 1000])
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), TARGET_SCHEMA, "doc_id", n_buckets=8
+    )
+
+    job1 = CdcStreamJob(
+        table=table, source_dir=src, checkpoint_dir=ckpt,
+        source_schema=CHANGELOG_SCHEMA, max_files_per_trigger=1, job_id="t-resume",
+    )
+    job1.run_available_now(spark)
+    v_mid = table.snapshot().version
+    assert v_mid >= 1
+
+    # late files arrive; restart from the same checkpoint
+    _write_log_chunks(log, src, [1500, 2000])
+    job2 = CdcStreamJob(
+        table=table, source_dir=src, checkpoint_dir=ckpt,
+        source_schema=CHANGELOG_SCHEMA, max_files_per_trigger=1, job_id="t-resume",
+    )
+    job2.run_available_now(spark)
+    assert_matches_oracle(table.read(), expected)
+
+    # a third run with nothing new must commit nothing
+    job3 = CdcStreamJob(
+        table=table, source_dir=src, checkpoint_dir=ckpt,
+        source_schema=CHANGELOG_SCHEMA, job_id="t-resume",
+    )
+    job3.run_available_now(spark)
+    assert table.snapshot().version == table.snapshot().version
+    assert_matches_oracle(table.read(), expected)
+
+
+def test_foreachbatch_redelivery_is_noop(spark, tmpdir_path):
+    """Simulate at-least-once foreachBatch: deliver batch 0 twice via a
+    fresh checkpoint (same job_id) — the manifest must reject the replay."""
+    log = changelog_df(spark, n_events=300, n_docs=50, seed=17)
+    expected = dict_replay([r.asDict(recursive=True) for r in log.collect()])
+    src = os.path.join(tmpdir_path, "log")
+    log.coalesce(1).write.parquet(src)
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), TARGET_SCHEMA, "doc_id", n_buckets=4
+    )
+    for i in range(2):  # two runs, two checkpoints, same job id -> batch 0 twice
+        job = CdcStreamJob(
+            table=table, source_dir=src,
+            checkpoint_dir=os.path.join(tmpdir_path, f"ckpt{i}"),
+            source_schema=CHANGELOG_SCHEMA, job_id="t-redeliver",
+        )
+        job.run_available_now(spark)
+    skipped = [l for l in table.history() if l["kind"] == "merge"]
+    assert len(skipped) == 1  # second delivery committed nothing
+    assert_matches_oracle(table.read(), expected)
