@@ -1,0 +1,23 @@
+from jitsu_spark.operators.flatten import flatten, flatten_json_col, normalize_name
+from jitsu_spark.operators.mapping import MappingRule, apply_mappings, parse_rule
+from jitsu_spark.operators.enrich import (
+    with_context_enrichment,
+    with_deterministic_event_id,
+)
+from jitsu_spark.operators.routing import route_to_tables, table_name_expr
+from jitsu_spark.operators.salting import salted_agg, salted_lww
+
+__all__ = [
+    "flatten",
+    "flatten_json_col",
+    "normalize_name",
+    "MappingRule",
+    "apply_mappings",
+    "parse_rule",
+    "with_context_enrichment",
+    "with_deterministic_event_id",
+    "route_to_tables",
+    "table_name_expr",
+    "salted_agg",
+    "salted_lww",
+]
