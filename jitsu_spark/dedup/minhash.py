@@ -1,0 +1,145 @@
+"""MinHash + LSH near-duplicate detection, and n-gram Jaccard verification.
+
+Pipeline (shingle -> minhash -> band -> bucket-join -> verify):
+
+1. ``minhash_signature``: k deterministic permutations approximated by
+   ``min(md5(seed || token))`` per document — portable (md5 exists in
+   every engine, so the DuckDB oracle reproduces signatures exactly) and
+   columnar (transform + array_min over the split; no explode, no
+   shuffle).
+2. ``lsh_candidate_pairs``: signatures are grouped into bands; documents
+   sharing any band hash become candidate pairs via a self-equi-join on
+   the band value. Scale: the join key is the band hash, so cost is
+   sum over buckets of |bucket|^2 — tune (k, bands) so buckets stay
+   small; the quadratic blowup of a naive cross join never happens.
+3. ``ngram_jaccard_pairs``: exact word-shingle Jaccard on the (small)
+   candidate set only — array_intersect/array_union on deduplicated
+   shingle arrays, JVM-side.
+
+At 100 TB: stage 1 is a narrow map over the scan; stage 2 shuffles only
+(id, band) pairs (tiny); stage 3 re-joins text for candidates only
+(broadcast the candidate ids when few).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def _shingles(col: Column, n: int) -> Column:
+    """Word n-gram shingles as strings (distinct)."""
+    toks = _tokens(col)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_expr(col: Column, seed: int, shingle_n: int = 1) -> Column:
+    """min over shingles of md5('<seed>#' || shingle)."""
+    return F.array_min(
+        F.transform(
+            _shingles(col, shingle_n),
+            lambda w: F.md5(F.concat(F.lit(f"{seed}#"), w)),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, k: int = 8, shingle_n: int = 1, prefix: str = "mh"
+) -> DataFrame:
+    out = df
+    for s in range(k):
+        out = out.withColumn(f"{prefix}{s}", minhash_expr(F.col(text_col), s, shingle_n))
+    return out
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) that agree on >=1 LSH band.
+
+    Bands of r = k/bands minhashes are concatenated and md5'd; a
+    self-equi-join per band finds collisions. Result columns:
+    (id_a, id_b) distinct pairs.
+    """
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    r = k // bands
+    sig = minhash_signature(df.select(id_col, text_col), text_col, k, shingle_n)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    # stack bands -> (id, band_no, band_hash); one join instead of `bands` joins
+    stacked = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("b"),
+    ).select(id_col, "b.band_no", "b.bh")
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_no") == F.col("r.band_no"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame | None = None,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Exact word-``shingle_n``-gram Jaccard for candidate pairs (default:
+    LSH candidates). Returns (id_a, id_b, n_inter, n_union, jaccard)."""
+    if pairs is None:
+        pairs = lsh_candidate_pairs(df, id_col, text_col, k=k, bands=bands)
+    sh = df.select(
+        F.col(id_col), _shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard", F.round(F.col("n_inter") / F.col("n_union"), 6)
+        )
+        .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+    )
+    if min_jaccard > 0:
+        j = j.filter(F.col("jaccard") >= min_jaccard)
+    return j

@@ -1,0 +1,3 @@
+from jitsu_spark.similarity.ann import cosine_topk, cosine_topk_lsh, embedding_near_dups
+
+__all__ = ["cosine_topk", "cosine_topk_lsh", "embedding_near_dups"]
