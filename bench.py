@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {<name>: sec, ...}, "sf": <sf>, ...extras}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     JITSU_BENCH_CDC_EVENTS (default 2_000_000).
+
+The flagship number is the CDC replay: a deterministic synthetic change
+log (JITSU_BENCH_CDC_EVENTS events, 10% of keys hot, dup deliveries) is
+generated columnar-ly and replayed through the real engine (LWW reduce +
+bucket-pruned CoW merge into a lake table) in 4 seq-ordered batches;
+``cdc_events_per_sec`` is the throughput the BASELINE scaling rule tracks.
+Scaling-efficiency evidence (same job at local[8] vs local[32]) is
+produced by tools/bench_scaling.py and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _noop_write(df) -> None:
+    """Force full computation of every column (count() would let Catalyst
+    prune the projection away)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_cdc_replay(spark, n_events: int, n_docs: int, n_batches: int = 4) -> float:
+    from jitsu_spark.changelog import changelog_df
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="jitsu_bench_")
+    try:
+        # materialize the change log to parquet first (UNTIMED): the engine
+        # tails an already-written log; synthesizing it is not upsert work
+        log_dir = os.path.join(work, "log")
+        changelog_df(
+            spark, n_events, n_docs, seed=42, hot_key_pct=0.1, dup_pct=0.01
+        ).write.parquet(log_dir)
+        log = spark.read.parquet(log_dir)
+
+        # untimed warmup: absorb JIT/codegen/parquet-writer init
+        warm = LakeTable.create(
+            spark, os.path.join(work, "warm"), schema, "doc_id", n_buckets=8
+        )
+        merge_batch(warm, log.filter(F.col("seq") < 20000), batch_id=0, job_id="warm")
+
+        table = LakeTable.create(
+            spark, os.path.join(work, "tbl"), schema, "doc_id", n_buckets=64
+        )
+        per = n_events // n_batches
+        t0 = time.time()
+        for i in range(n_batches):
+            part = log.filter(
+                (F.col("seq") >= i * per)
+                & (F.col("seq") < ((i + 1) * per if i < n_batches - 1 else n_events))
+            )
+            merge_batch(table, part, batch_id=i, job_id="bench")
+        return time.time() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_cdc = int(os.environ.get("JITSU_BENCH_CDC_EVENTS", 2_000_000))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from jitsu_spark.session import get_spark
+
+    spark = get_spark(app_name="jitsu-bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # flagship: CDC replay throughput through the real engine
+    secs = bench_cdc_replay(spark, n_cdc, max(n_cdc // 10, 1000))
+    queries["cdc_replay"] = round(secs, 3)
+    extras["cdc_events"] = n_cdc
+    extras["cdc_events_per_sec"] = round(n_cdc / secs, 1)
+
+    # operator suite over the driver tables at sf_dir
+    suite = {
+        "lww_dedup": entry.q_lww_dedup,
+        "flatten_props": entry.q_flatten_props,
+        "deterministic_event_id": entry.q_deterministic_event_id,
+        "events_per_hour": entry.q_events_per_hour,
+        "exact_dedup_documents": entry.q_exact_dedup_documents,
+        "text_quality": entry.q_text_quality,
+        "token_counts": entry.q_token_counts,
+        "minhash_lsh_candidates": entry.q_lsh_candidates,
+        "simhash": entry.q_simhash,
+        "embedding_topk": entry.q_embedding_topk,
+        "ann_lsh_topk": entry.q_ann_lsh_topk,
+        "pricing_summary": entry.q_pricing_summary,
+        "revenue_by_nation": entry.q_revenue_by_nation,
+        "multimodal_features": entry.q_multimodal_features,
+    }
+    for name, fn in suite.items():
+        t0 = time.time()
+        _noop_write(fn(spark, sf_dir))
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc-upsert-throughput+operator-suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                **extras,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

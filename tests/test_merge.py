@@ -220,10 +220,12 @@ def test_merge_key_type_change_rejected(spark, tmpdir_path):
 
 
 def test_compaction_preserves_state(spark, tmpdir_path):
+    # merges rewrite buckets to one file each, so fragment via the
+    # append-only fast path (which only ever adds files)
     t = make_table(spark, tmpdir_path, n_buckets=2)
     for i in range(6):
-        merge_batch(
-            t, batch(spark, [ev(i, "i", f"k{i}", [i])]), batch_id=i
+        append_batch(
+            t, batch(spark, [ev(i, "i", f"k{i}", [i])]).drop("op"), batch_id=i
         )
     before = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
     res = t.compact(max_files_per_bucket=2)
