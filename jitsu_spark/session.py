@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # lake-table reads pass explicit file lists (tens to hundreds of
+        # paths); below this threshold listing stays driver-side instead of
+        # launching a listing job per read (~0.5-1s saved per micro-batch)
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

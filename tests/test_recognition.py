@@ -1,0 +1,94 @@
+"""Retrospective user recognition (ST8): anonymous events are parked and
+retroactively completed when the identity mapping arrives — port of the
+reference's retrospective_users_recognition integration semantics."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+
+from jitsu_spark.lake import LakeTable
+from jitsu_spark.streaming.recognition import UserRecognition
+
+DEST_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.StringType()),
+        T.StructField("anon_id", T.StringType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+BATCH_SCHEMA = T.StructType(
+    [T.StructField("seq", T.LongType()), T.StructField("op", T.StringType())]
+    + list(DEST_SCHEMA.fields)
+)
+
+
+def ev(seq, event_id, anon_id, user_id, value=1.0, op="i"):
+    return {
+        "seq": seq, "op": op, "event_id": event_id,
+        "anon_id": anon_id, "user_id": user_id, "value": value,
+    }
+
+
+def test_retrospective_recognition(spark, tmpdir_path):
+    dest = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "dest"), DEST_SCHEMA, "event_id",
+        n_buckets=4,
+    )
+    rec = UserRecognition(spark, tmpdir_path, dest)
+
+    # batch 0: two anonymous events + one directly-identified event
+    b0 = spark.createDataFrame(
+        [
+            ev(1, "e1", "a1", None),
+            ev(2, "e2", "a1", None),
+            ev(3, "e3", None, "u3"),
+        ],
+        BATCH_SCHEMA,
+    )
+    r0 = rec.apply_batch(b0, batch_id=0)
+    assert (r0.n_direct, r0.n_recognized_in_batch, r0.n_parked) == (1, 0, 2)
+    dest_rows = {r["event_id"]: r for r in dest.read().collect()}
+    assert set(dest_rows) == {"e3"}
+    assert rec._pending.read().count() == 2
+
+    # batch 1: the identify event arrives -> parked events are completed
+    b1 = spark.createDataFrame([ev(4, "e4", "a1", "U1", 9.0)], BATCH_SCHEMA)
+    r1 = rec.apply_batch(b1, batch_id=1)
+    assert r1.n_direct == 1 and r1.n_reconciled == 2
+    dest_rows = {r["event_id"]: r for r in dest.read().collect()}
+    assert set(dest_rows) == {"e1", "e2", "e3", "e4"}
+    assert dest_rows["e1"]["user_id"] == "U1"
+    assert dest_rows["e2"]["user_id"] == "U1"
+    assert rec._pending.read().count() == 0  # unparked
+
+    # batch 2: a later anonymous event for an ALREADY-known anon id is
+    # recognized inline, never parked
+    b2 = spark.createDataFrame([ev(5, "e5", "a1", None, 2.0)], BATCH_SCHEMA)
+    r2 = rec.apply_batch(b2, batch_id=2)
+    assert r2.n_recognized_in_batch == 1 and r2.n_parked == 0
+    assert {r["event_id"] for r in dest.read().collect()} == {
+        "e1", "e2", "e3", "e4", "e5"
+    }
+    assert {
+        r["user_id"] for r in dest.read().filter("event_id = 'e5'").collect()
+    } == {"U1"}
+
+
+def test_recognition_redelivery_idempotent(spark, tmpdir_path):
+    dest = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "dest"), DEST_SCHEMA, "event_id",
+        n_buckets=4,
+    )
+    rec = UserRecognition(spark, tmpdir_path, dest)
+    b0 = spark.createDataFrame(
+        [ev(1, "e1", "a1", None), ev(2, "e2", "a1", "U1")], BATCH_SCHEMA
+    )
+    rec.apply_batch(b0, batch_id=0)
+    before = sorted(map(str, dest.read().collect()))
+    rec.apply_batch(b0, batch_id=0)  # foreachBatch redelivery
+    after = sorted(map(str, dest.read().collect()))
+    assert before == after

@@ -33,7 +33,13 @@ def main() -> None:
     os.makedirs(scratch, exist_ok=True)
     spark = get_spark(
         app_name=f"scaling-{cpus}", cores=cpus, shuffle_partitions=cpus,
-        extra_conf={"spark.local.dir": os.path.join(scratch, f"spark-local-{cpus}")},
+        extra_conf={
+            "spark.local.dir": os.path.join(scratch, f"spark-local-{cpus}"),
+            # per-batch seq-range scans must still fan out across all
+            # cores: small input splits keep map parallelism >= cores even
+            # when predicate pushdown prunes most of the log
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     log = spark.read.parquet(log_dir)
