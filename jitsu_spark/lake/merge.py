@@ -61,7 +61,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from jitsu_spark.lake.metadata import CommitConflict, Snapshot
-from jitsu_spark.lake.table import BUCKET_COL, LakeTable
+from jitsu_spark.lake.table import (
+    BUCKET_COL,
+    MOR_OP_COL,
+    WRITE_MODE_PROP,
+    LakeTable,
+)
 from jitsu_spark.typesys.align import alignment_columns
 from jitsu_spark.typesys.evolution import plan_evolution
 
@@ -177,8 +182,24 @@ def _merge_once(
     )
     target = plan.target
 
+    mode = snap.properties.get(WRITE_MODE_PROP, "cow")
     new_files: dict[str, list[str]] = {}
-    if n_keys > 0:
+    if n_keys > 0 and mode == "mor":
+        # 4-MoR. Append-only delta write: the LWW'd batch (tombstones
+        # included, op persisted) lands as one delta file per affected
+        # bucket — O(batch) work regardless of table size; readers
+        # reconcile by commit sequence (LakeTable.read). The write-vs-read
+        # amplification trade is bounded by compaction (compact()).
+        delta = (
+            upd.select(
+                *alignment_columns(upd, target),
+                F.col("_op").alias(MOR_OP_COL),
+            )
+            .withColumn(BUCKET_COL, table.bucket_expr(F.col(key)))
+            .repartition(max(len(affected), 1), F.col(BUCKET_COL))
+        )
+        new_files = table._write_files(delta)
+    elif n_keys > 0:
         # 4. CoW rewrite of affected buckets.
         existing = table.read(buckets=affected, snap=snap)
         existing = existing.select(*alignment_columns(existing, target))
@@ -212,14 +233,23 @@ def _merge_once(
         sid = str(max(int(s) for s in schemas) + 1)
         schemas[sid] = target.json()
     files = dict(snap.files)
-    for b in affected:
-        bs = str(b)
-        if bs in new_files:
-            files[bs] = [
-                {"path": p, "schema_id": sid} for p in new_files[bs]
+    if mode == "mor":
+        # append delta entries stamped with this commit's sequence
+        new_version = snap.version + 1
+        for b, paths in new_files.items():
+            files[b] = list(files.get(b, [])) + [
+                {"path": p, "schema_id": sid, "kind": "delta", "mseq": new_version}
+                for p in paths
             ]
-        else:
-            files.pop(bs, None)  # bucket fully deleted
+    else:
+        for b in affected:
+            bs = str(b)
+            if bs in new_files:
+                files[bs] = [
+                    {"path": p, "schema_id": sid} for p in new_files[bs]
+                ]
+            else:
+                files.pop(bs, None)  # bucket fully deleted
     committed = list(snap.committed)
     if batch_id is not None:
         committed.append(_commit_key(job_id, batch_id))

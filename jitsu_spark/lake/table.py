@@ -40,6 +40,8 @@ from jitsu_spark.lake.metadata import CommitConflict, Snapshot
 from jitsu_spark.typesys.align import align_to_schema
 
 BUCKET_COL = "_jb"  # internal bucket column used only around writes
+MOR_OP_COL = "_mor_op_file"  # op column persisted inside MoR delta files
+WRITE_MODE_PROP = "write.mode"  # "cow" (default) | "mor"
 
 
 @dataclass
@@ -111,6 +113,14 @@ class LakeTable:
         n = self.snapshot().n_buckets
         return F.pmod(F.xxhash64(key_col), F.lit(n)).cast("int")
 
+    def write_mode(self, snap: Snapshot | None = None) -> str:
+        """'cow' (default): merges rewrite affected buckets, reads are
+        plain scans. 'mor': merges append LWW'd delta files (O(batch)
+        writes regardless of table size), reads reconcile base+deltas;
+        compaction folds deltas back into base."""
+        snap = snap or self.snapshot()
+        return snap.properties.get(WRITE_MODE_PROP, "cow")
+
     # -- read path ----------------------------------------------------------
 
     def read(
@@ -119,36 +129,87 @@ class LakeTable:
         version: int | None = None,
         snap: Snapshot | None = None,
     ) -> DataFrame:
-        """Snapshot-consistent scan, pruned to ``buckets`` if given.
+        """Snapshot-consistent merged scan, pruned to ``buckets`` if given.
 
-        Files are grouped by physical schema id; each group is read with its
-        exact schema (no footer-merging scan) and cast to the logical schema
-        in a single projection.
+        Files are grouped by physical schema id (and, for merge-on-read
+        deltas, by commit sequence); each group is read with its exact
+        schema (no footer-merging scan) and cast to the logical schema in a
+        single projection. When the selected buckets contain MoR delta
+        files, base and deltas are reconciled here: LWW by commit sequence
+        per key, delta tombstones drop the key. Pure-base (CoW) reads skip
+        the reconcile aggregate entirely.
         """
         snap = snap or self.snapshot(version)
         logical = T.StructType.fromJson(__import__("json").loads(snap.schema_json))
         wanted = (
             set(str(b) for b in buckets) if buckets is not None else set(snap.files)
         )
-        by_sid: dict[str, list[str]] = {}
+        # group files: (schema_id, mseq) -> paths; mseq 0 = base
+        groups: dict[tuple[str, int], list[str]] = {}
+        has_delta = False
         for b, entries in snap.files.items():
             if b not in wanted:
                 continue
             for e in entries:
-                by_sid.setdefault(e["schema_id"], []).append(
+                mseq = int(e.get("mseq", 0))
+                if e.get("kind", "base") == "delta":
+                    has_delta = True
+                groups.setdefault((e["schema_id"], mseq), []).append(
                     os.path.join(self.root, e["path"])
                 )
-        parts: list[DataFrame] = []
-        for sid, paths in by_sid.items():
-            phys = T.StructType.fromJson(__import__("json").loads(snap.schemas[sid]))
-            df = self.spark.read.schema(phys).parquet(*paths)
-            parts.append(align_to_schema(df, logical))
-        if not parts:
+        if not groups:
             return self.spark.createDataFrame([], logical)
+
+        if not has_delta:
+            parts = []
+            for (sid, _), paths in groups.items():
+                phys = T.StructType.fromJson(
+                    __import__("json").loads(snap.schemas[sid])
+                )
+                df = self.spark.read.schema(phys).parquet(*paths)
+                parts.append(align_to_schema(df, logical))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        # MoR reconcile: base rows carry (_mseq=0, _op='u'); delta rows
+        # carry their commit seq and real op; latest wins, 'd' drops.
+        key = snap.key_field
+        from jitsu_spark.typesys.align import alignment_columns
+
+        parts = []
+        for (sid, mseq), paths in groups.items():
+            phys = T.StructType.fromJson(__import__("json").loads(snap.schemas[sid]))
+            if mseq > 0:  # delta files persist their op column
+                phys = T.StructType(
+                    list(phys.fields) + [T.StructField(MOR_OP_COL, T.StringType())]
+                )
+            df = self.spark.read.schema(phys).parquet(*paths)
+            op_col = F.col(MOR_OP_COL) if mseq > 0 else F.lit("u")
+            parts.append(
+                df.select(
+                    *alignment_columns(df, logical),
+                    F.lit(mseq).cast("long").alias("_mor_seq"),
+                    op_col.alias("_mor_op"),
+                )
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        payload = [f.name for f in logical.fields if f.name != key]
+        winner = F.max_by(
+            F.struct(*[F.col(c) for c in payload], F.col("_mor_op")),
+            F.col("_mor_seq"),
+        ).alias("_w")
+        return (
+            out.groupBy(key)
+            .agg(winner)
+            .select(key, "_w.*")
+            .filter(F.col("_mor_op") != "d")
+            .drop("_mor_op")
+            .select(*[f.name for f in logical.fields])
+        )
 
     # -- write path (internal; public entry points are in merge.py) ---------
 

@@ -1,0 +1,92 @@
+"""Merge-on-read write mode: append-only delta merges, read-time
+reconciliation, compaction folding, schema evolution — must match the same
+dict oracle as CoW (the two modes are plan-level choices, not semantics)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from jitsu_spark.changelog import (
+    assert_matches_oracle,
+    changelog_df,
+    dict_replay,
+    evolving_phases,
+)
+from jitsu_spark.lake import LakeTable
+from jitsu_spark.lake.merge import merge_batch
+from tests.test_merge import TARGET_SCHEMA, batch, ev
+
+
+def make_mor(spark, root, n_buckets=8) -> LakeTable:
+    return LakeTable.create(
+        spark, os.path.join(root, "mor"), TARGET_SCHEMA, "doc_id",
+        n_buckets=n_buckets, properties={"write.mode": "mor"},
+    )
+
+
+def test_mor_basic_upsert_delete(spark, tmpdir_path):
+    t = make_mor(spark, tmpdir_path)
+    merge_batch(t, batch(spark, [ev(1, "i", "a", [1]), ev(2, "i", "b", [2])]), batch_id=0)
+    merge_batch(t, batch(spark, [ev(3, "u", "a", [9, 9]), ev(4, "d", "b")]), batch_id=1)
+    rows = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert rows == {"a": [9, 9]}
+    # delta entries recorded, no base rewrite happened
+    snap = t.snapshot()
+    kinds = {e.get("kind", "base") for es in snap.files.values() for e in es}
+    assert kinds == {"delta"}
+
+
+def test_mor_oracle_replay_and_compaction(spark, tmpdir_path):
+    t = make_mor(spark, tmpdir_path)
+    log = changelog_df(spark, n_events=3000, n_docs=250, seed=21, dup_pct=0.04)
+    expected = dict_replay([r.asDict(recursive=True) for r in log.collect()])
+    per = 300
+    for i in range(10):
+        part = log.filter((F.col("seq") >= i * per) & (F.col("seq") < (i + 1) * per))
+        merge_batch(t, part, batch_id=i)
+        if i == 5:  # fold deltas mid-stream; state must be unaffected
+            t.compact(max_files_per_bucket=2)
+    assert_matches_oracle(t.read(), expected)
+    t.compact(max_files_per_bucket=1)
+    assert_matches_oracle(t.read(), expected)
+    snap = t.snapshot()
+    assert all(len(es) <= 1 for es in snap.files.values())
+    kinds = {e.get("kind", "base") for es in snap.files.values() for e in es}
+    assert kinds <= {"base"}
+
+
+def test_mor_schema_evolution(spark, tmpdir_path):
+    t = make_mor(spark, tmpdir_path)
+    phases = evolving_phases(spark, n_events=600, n_docs=60, seed=8)
+    all_rows = []
+    for i, p in enumerate(phases):
+        merge_batch(t, p, batch_id=i)
+        all_rows += [r.asDict(recursive=True) for r in p.collect()]
+    expected = dict_replay(all_rows)
+    for v in expected.values():
+        v.setdefault("lang", None)
+        v.setdefault("quality", None)
+        v.setdefault("published_at", None)
+        if v["quality"] is not None:
+            v["quality"] = float(v["quality"])
+    assert t.schema()["quality"].dataType.simpleString() == "double"
+    assert_matches_oracle(t.read(), expected)
+
+
+def test_mor_duplicate_batch_skipped(spark, tmpdir_path):
+    t = make_mor(spark, tmpdir_path)
+    merge_batch(t, batch(spark, [ev(1, "i", "a", [1])]), batch_id=3)
+    r = merge_batch(t, batch(spark, [ev(9, "u", "a", [9])]), batch_id=3)
+    assert r.skipped
+    assert t.read().collect()[0]["tokens"] == [1]
+
+
+def test_mor_time_travel(spark, tmpdir_path):
+    t = make_mor(spark, tmpdir_path)
+    merge_batch(t, batch(spark, [ev(1, "i", "a", [1])]), batch_id=0)
+    v1 = t.snapshot().version
+    merge_batch(t, batch(spark, [ev(2, "u", "a", [2])]), batch_id=1)
+    assert t.read(version=v1).collect()[0]["tokens"] == [1]
+    assert t.read().collect()[0]["tokens"] == [2]

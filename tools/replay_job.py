@@ -68,6 +68,7 @@ def main() -> None:
             table = LakeTable.create(
                 spark, os.path.join(work, f"tbl_{it}"), schema, "doc_id",
                 n_buckets=n_buckets,
+                properties={"write.mode": os.environ.get("JITSU_WRITE_MODE", "cow")},
             )
             t0 = time.time()
             for i in range(n_batches):
@@ -75,6 +76,10 @@ def main() -> None:
                     (F.col("seq") >= i * per) & (F.col("seq") < (i + 1) * per)
                 )
                 merge_batch(table, part, batch_id=i, job_id=f"it{it}")
+            if os.environ.get("JITSU_MOR_COMPACT_EVERY"):
+                table.compact(
+                    max_files_per_bucket=int(os.environ["JITSU_MOR_COMPACT_EVERY"])
+                )
             iter_secs.append(time.time() - t0)
             n_final = table.read().count()
             shutil.rmtree(os.path.join(work, f"tbl_{it}"), ignore_errors=True)
