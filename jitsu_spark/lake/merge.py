@@ -13,14 +13,17 @@ on Iceberg):
 Physical plan, chosen for 10^10-event scale:
 
 1. **LWW reduce via aggregation, not a window.**
-   ``groupBy(key).agg(max_by(struct(payload, op), seq))`` — a hash
-   aggregate with map-side partial combine. A hot key (20 % of a batch on
-   one doc_id) collapses to ONE row per map task before the shuffle, so
-   key skew self-defuses: the shuffle carries at most n_map_tasks rows for
-   the hottest key. A ``row_number() OVER (PARTITION BY key)`` window would
+   ``groupBy(key).agg(max_by(struct(payload, op), seq))`` — a two-phase
+   aggregate with MAP-SIDE partial combine (``partial_max_by`` runs before
+   the exchange; Spark picks SortAggregate for struct-valued max_by, which
+   keeps the same partial phase). A hot key (20 % of a batch on one
+   doc_id) collapses to ONE row per map task before the shuffle, so key
+   skew self-defuses: the shuffle carries at most n_map_tasks rows for the
+   hottest key. A ``row_number() OVER (PARTITION BY key)`` window would
    instead shuffle every duplicate to one reducer — that is the skew trap
-   this design avoids. (Generic salted aggregation for non-reducible aggs
-   lives in operators/salting.py.)
+   this design avoids (plan-asserted in tests/test_plans.py). (Generic
+   salted aggregation for non-reducible aggs lives in
+   operators/salting.py.)
 2. **Bucket pruning.** Affected buckets = distinct
    ``pmod(xxhash64(key), n_buckets)`` over the reduced updates (collected
    driver-side — bounded by n_buckets rows). Only those buckets' files are
@@ -160,7 +163,7 @@ def _merge_once(
     seq_min = min((r["smin"] for r in stats), default=None)
     seq_max = max((r["smax"] for r in stats), default=None)
 
-    # 2. LWW reduce (hash agg, partial combine — see module docstring).
+    # 2. LWW reduce (partial-combine aggregate — see module docstring).
     # Deliberately NOT persisted: its two consumers (anti-join keys and
     # new-row images) share the same shuffle exchange, which Spark reuses
     # (ReusedExchange) — cheaper than caching the full payload.

@@ -1,0 +1,142 @@
+"""Physical-plan assertions: the optimizations the engine's scale story
+depends on must actually appear in the executed plans — predicate pushdown
+to the parquet scan, column pruning, map-side partial aggregation for the
+LWW reduce, broadcast joins for dimension lookups, and whole-stage codegen
+over the transform surface."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jitsu_spark.changelog import changelog_df
+from jitsu_spark.operators import flatten, with_context_enrichment
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def log_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plans") / "log")
+    changelog_df(spark, 20000, 2000, seed=2).write.parquet(d)
+    return d
+
+
+def test_seq_filter_pushed_to_scan(spark, log_dir):
+    """Per-batch seq-range filters must reach the parquet reader so row
+    groups outside the range are skipped (the log is seq-ordered)."""
+    df = spark.read.parquet(log_dir).filter(
+        (F.col("seq") >= 5000) & (F.col("seq") < 10000)
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(seq,5000)" in plan
+    assert "LessThan(seq,10000)" in plan
+
+
+def test_column_pruning_in_stats_pass(spark, log_dir):
+    """The merge kernel's stats pass must not read the tokens payload."""
+    df = spark.read.parquet(log_dir)
+    stats = df.groupBy(
+        F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("b")
+    ).agg(F.count(F.lit(1)), F.min("seq"), F.max("seq"))
+    plan = plan_of(stats)
+    # ReadSchema should carry only the referenced columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "tokens" not in read_schema[0]
+    assert "doc_id" in read_schema[0] and "seq" in read_schema[0]
+
+
+def test_lww_reduce_is_partial_aggregate(spark, log_dir):
+    """The LWW reduce must be a two-phase aggregate with a MAP-SIDE partial
+    combine (partial_max_by before the exchange — the skew-defusing
+    property), never a window: a window would shuffle every duplicate of a
+    hot key to one reducer. Spark picks SortAggregate for struct-valued
+    max_by; that's fine — the partial phase is what matters."""
+    df = spark.read.parquet(log_dir)
+    lww = df.groupBy("doc_id").agg(
+        F.max_by(F.struct("tokens", "op"), F.col("seq")).alias("w")
+    )
+    plan = plan_of(lww)
+    # the partial phase is placed before the exchange by construction;
+    # its presence is the map-side combine
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    tree = plan.split("\n\n")[0]  # the operator tree (details repeat names)
+    assert tree.count("Exchange") == 1  # exactly one shuffle
+
+
+def test_dimension_join_broadcasts(spark):
+    """Small dimension lookups (identities, geo-style enrichments) must be
+    broadcast — never shuffle the fact side."""
+    fact = changelog_df(spark, 5000, 500, seed=3)
+    dim = spark.createDataFrame(
+        [(f"src{i}", f"name{i}") for i in range(5)], ["source", "src_name"]
+    )
+    joined = fact.join(F.broadcast(dim), "source", "left")
+    plan = plan_of(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_transform_surface_stays_in_codegen(spark):
+    """Flatten + enrichment compile to narrow projections inside one
+    whole-stage-codegen span — no Python, no shuffle."""
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(("1",), 5, None)],
+        T.StructType(
+            [
+                T.StructField(
+                    "eventn_ctx",
+                    T.StructType([T.StructField("event_id", T.StringType())]),
+                ),
+                T.StructField("key2", T.IntegerType()),
+                T.StructField("src", T.StringType()),
+            ]
+        ),
+    )
+    out = with_context_enrichment(flatten(df), api_key="t", src="js")
+    plan = plan_of(out)
+    assert "codegen id" in plan  # inside a whole-stage-codegen span
+    assert "Exchange" not in plan  # narrow: zero shuffles
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cow_read_has_no_reconcile_aggregate(spark, tmpdir_path):
+    """CoW tables must keep the plain-scan read path (the MoR reconcile
+    aggregate only appears when delta files exist)."""
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+    from tests.test_merge import TARGET_SCHEMA, batch, ev
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TARGET_SCHEMA, "doc_id", n_buckets=4
+    )
+    merge_batch(t, batch(spark, [ev(1, "i", "a", [1])]), batch_id=0)
+    plan = plan_of(t.read())
+    assert "Aggregate" not in plan
+
+
+def test_mor_read_reconciles_and_prunes(spark, tmpdir_path):
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+    from tests.test_merge import TARGET_SCHEMA, batch, ev
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TARGET_SCHEMA, "doc_id",
+        n_buckets=4, properties={"write.mode": "mor"},
+    )
+    merge_batch(t, batch(spark, [ev(1, "i", "a", [1])]), batch_id=0)
+    merge_batch(t, batch(spark, [ev(2, "u", "a", [2])]), batch_id=1)
+    plan = plan_of(t.read())
+    assert "Aggregate" in plan  # reconcile present
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0]["tokens"] == [2]
