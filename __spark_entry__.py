@@ -299,6 +299,88 @@ def q_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_cdc_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same replay as the flagship but in merge-on-read mode with a
+    mid-stream delta compaction — must be state-identical (same oracle)."""
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+
+    log = _changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="jitsu_mor_entry_")
+    try:
+        table = LakeTable.create(
+            spark, os.path.join(work, "tbl"), schema, "doc_id",
+            n_buckets=16, properties={"write.mode": "mor"},
+        )
+        hi = log.agg(F.max("seq")).collect()[0][0] or 0
+        per = hi // 5 + 1
+        for i in range(5):
+            part = log.filter(
+                (F.col("seq") >= i * per) & (F.col("seq") < (i + 1) * per)
+            )
+            merge_batch(table, part, batch_id=i, job_id="mor-entry")
+            if i == 2:
+                table.compact(max_files_per_bucket=2)
+        out = table.read().select("doc_id", "ts", "value")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_time_chunk_resync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: replay, then idempotently re-sync the first-half time chunk with
+    corrected values (value doubled) via overwrite_where."""
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.maintenance import overwrite_where
+    from jitsu_spark.lake.merge import merge_batch
+
+    cutoff = "2024-01-15 00:00:00"
+    log = _changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="jitsu_resync_entry_")
+    try:
+        table = LakeTable.create(
+            spark, os.path.join(work, "tbl"), schema, "doc_id", n_buckets=16
+        )
+        merge_batch(table, log, batch_id=0, job_id="resync-entry")
+        pred = F.col("ts") < F.lit(cutoff).cast("timestamp")
+        fresh = table.read().filter(pred).withColumn(
+            "value", F.col("value") * 2
+        )
+        overwrite_where(table, fresh, pred, chunk_id="h1")
+        out = table.read().select("doc_id", "ts", "value")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted two-phase aggregation (ST7) over the change log."""
+    from jitsu_spark.operators import salted_agg
+
+    log = _changelog(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_agg(
+        log, ["op"], {"n": ("count", "*"), "sum_value": ("sum", "value_dec")},
+        n_salts=8, salt_on=["seq"],
+    )
+    return out.select("op", "n", F.col("sum_value").cast("decimal(28,2)").alias("sum_value"))
+
+
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (rows-only check: band composition
     is engine-internal; signature correctness is covered by
@@ -340,7 +422,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": q_cdc_replay_final_state,
+        "cdc_replay_mor": q_cdc_replay_mor,
         "cdc_schema_widening": q_schema_widening,
+        "time_chunk_resync": q_time_chunk_resync,
+        "salted_rollup": q_salted_rollup,
         "lww_dedup": q_lww_dedup,
         "flatten_props": q_flatten_props,
         "routing_monthly": q_routing_monthly,
@@ -372,6 +457,30 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY doc_id ORDER BY seq DESC) AS rn
                   FROM c)
             SELECT doc_id, ts, value FROM r WHERE rn = 1 AND op <> 'd'
+        """,
+        "cdc_replay_mor": f"""
+            WITH c AS ({cl}),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY seq DESC) AS rn
+                  FROM c)
+            SELECT doc_id, ts, value FROM r WHERE rn = 1 AND op <> 'd'
+        """,
+        "time_chunk_resync": f"""
+            WITH c AS ({cl}),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY seq DESC) AS rn
+                  FROM c)
+            SELECT doc_id, ts,
+                   CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                        THEN value * 2 ELSE value END AS value
+            FROM r WHERE rn = 1 AND op <> 'd'
+        """,
+        "salted_rollup": f"""
+            WITH c AS ({cl})
+            SELECT op, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                       AS sum_value
+            FROM c GROUP BY op
         """,
         "cdc_schema_widening": f"""
             WITH c AS ({cl}),

@@ -1,0 +1,145 @@
+"""Table maintenance beyond compaction: time-chunk re-sync (W3) and
+orphan-file vacuum.
+
+``overwrite_where`` re-expresses the reference's SyncStore delete-then-
+reload of one time interval (semantics per /root/reference/server/
+storages/postgres.go:165-221 and adapters/delete_condition.go:24-33 —
+re-derived): replace every row matching a predicate with a fresh chunk, in
+ONE atomic snapshot, idempotently (same chunk_id re-synced twice converges
+to the same state). On Iceberg this is `INSERT OVERWRITE ... WHERE` /
+dynamic partition overwrite; here it is a predicate-scoped CoW rewrite.
+
+``vacuum`` deletes data files not referenced by any retained snapshot —
+commit retries and killed jobs leave orphan commit-token dirs by design
+(the atomic metadata swap, not the file write, is the commit point).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jitsu_spark.lake import metadata as md
+from jitsu_spark.lake.metadata import Snapshot
+from jitsu_spark.lake.table import BUCKET_COL, LakeTable
+from jitsu_spark.typesys.align import alignment_columns
+from jitsu_spark.typesys.evolution import plan_evolution
+
+
+@dataclass
+class OverwriteResult:
+    version: int
+    skipped: bool = False
+    n_inserted: int = 0
+
+
+def overwrite_where(
+    table: LakeTable,
+    replacement: DataFrame,
+    predicate: Column,
+    chunk_id: str | None = None,
+    job_id: str = "sync",
+) -> OverwriteResult:
+    """Atomically replace all rows matching ``predicate`` with
+    ``replacement`` (which must itself satisfy the predicate's intent —
+    not enforced). Idempotent per (job_id, chunk_id).
+
+    Physical plan: the whole table's buckets are candidates (a predicate
+    may touch any bucket), but rows are rewritten bucket-local: scan →
+    filter(~predicate) → union(replacement) → one repartition by bucket →
+    write. At scale, pass a replacement/predicate pair scoped to a time
+    chunk so the survivors scan prunes via min/max stats on the predicate
+    column.
+    """
+    import json as J
+
+    from pyspark.sql import types as T
+
+    snap = table.snapshot()
+    commit_key = f"{job_id}/{chunk_id}"
+    if chunk_id is not None and commit_key in snap.committed:
+        return OverwriteResult(version=snap.version, skipped=True)
+    key = snap.key_field
+    plan = plan_evolution(
+        T.StructType.fromJson(J.loads(snap.schema_json)),
+        replacement.schema,
+        frozen=(key,),
+    )
+    target = plan.target
+    existing = table.read(snap=snap)
+    survivors = existing.select(*alignment_columns(existing, target)).filter(
+        ~predicate
+    )
+    fresh = replacement.select(*alignment_columns(replacement, target))
+    n_inserted = fresh.count()
+    result = (
+        survivors.unionByName(fresh)
+        .withColumn(BUCKET_COL, table.bucket_expr(F.col(key)))
+        .repartition(snap.n_buckets, F.col(BUCKET_COL))
+    )
+    new_files = table._write_files(result)
+    schemas = dict(snap.schemas)
+    sid = snap.current_schema_id
+    if plan.changed:
+        sid = str(max(int(s) for s in schemas) + 1)
+        schemas[sid] = target.json()
+    files = {
+        b: [{"path": p, "schema_id": sid} for p in paths]
+        for b, paths in new_files.items()
+    }
+    committed = list(snap.committed)
+    if chunk_id is not None:
+        committed.append(commit_key)
+    new_snap = Snapshot(
+        version=snap.version + 1,
+        key_field=snap.key_field,
+        n_buckets=snap.n_buckets,
+        schema_json=target.json(),
+        schemas=schemas,
+        current_schema_id=sid,
+        files=files,
+        committed=committed,
+        lineage=snap.lineage
+        + [{"kind": "overwrite_where", "job_id": job_id, "chunk_id": chunk_id,
+            "n_inserted": n_inserted}],
+        properties=snap.properties,
+        parent=snap.version,
+    )
+    table._commit(new_snap)
+    return OverwriteResult(version=new_snap.version, n_inserted=n_inserted)
+
+
+def vacuum(table: LakeTable, keep_last: int = 1, min_age_s: float = 0.0) -> list[str]:
+    """Delete data files referenced by NO retained snapshot (the newest
+    ``keep_last`` snapshots are retained; older snapshots lose time-travel).
+    Orphans younger than ``min_age_s`` are kept (an in-flight commit may
+    reference them momentarily). Returns deleted relative paths."""
+    current = md.current_version(table.root)
+    retained = range(max(0, current - keep_last + 1), current + 1)
+    referenced: set[str] = set()
+    for v in retained:
+        snap = table.snapshot(v)
+        for es in snap.files.values():
+            referenced.update(e["path"] for e in es)
+    deleted: list[str] = []
+    data_root = os.path.join(table.root, "data")
+    now = time.time()
+    for dirpath, _, filenames in os.walk(data_root):
+        for fn in filenames:
+            full = os.path.join(dirpath, fn)
+            rel = os.path.relpath(full, table.root)
+            if rel in referenced or not fn.endswith(".parquet"):
+                continue
+            if now - os.path.getmtime(full) < min_age_s:
+                continue
+            os.unlink(full)
+            deleted.append(rel)
+    # remove empty commit dirs
+    for dirpath, dirnames, filenames in list(os.walk(data_root, topdown=False)):
+        if dirpath != data_root and not dirnames and not filenames:
+            os.rmdir(dirpath)
+    return deleted

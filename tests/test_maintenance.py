@@ -1,0 +1,69 @@
+"""overwrite_where (W3 time-chunk re-sync) + vacuum (orphan cleanup)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from jitsu_spark.lake import LakeTable
+from jitsu_spark.lake.maintenance import overwrite_where, vacuum
+from jitsu_spark.lake.merge import merge_batch
+from tests.test_merge import TARGET_SCHEMA, batch, ev, make_table
+
+
+def _day(d):
+    return dt.datetime(2024, 1, d)
+
+
+def test_overwrite_where_replaces_chunk_idempotently(spark, tmpdir_path):
+    t = make_table(spark, tmpdir_path)
+    merge_batch(
+        t,
+        batch(
+            spark,
+            [
+                ev(1, "i", "a", [1], ts=_day(1)),
+                ev(2, "i", "b", [2], ts=_day(1)),
+                ev(3, "i", "c", [3], ts=_day(2)),
+            ],
+        ),
+        batch_id=0,
+    )
+    # re-sync day 1 with a corrected chunk: b fixed, a gone, d new
+    fresh = batch(
+        spark,
+        [ev(10, "i", "b", [2, 2], ts=_day(1)), ev(11, "i", "d", [4], ts=_day(1))],
+    ).drop("seq", "op")
+    pred = F.col("ts") < F.lit(_day(2))
+    r1 = overwrite_where(t, fresh, pred, chunk_id="2024-01-01")
+    rows = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert rows == {"b": [2, 2], "c": [3], "d": [4]}
+    # idempotent: same chunk_id again is a no-op
+    r2 = overwrite_where(t, fresh, pred, chunk_id="2024-01-01")
+    assert r2.skipped and t.snapshot().version == r1.version
+    # a different chunk_id re-applies (same final state — convergent)
+    overwrite_where(t, fresh, pred, chunk_id="2024-01-01-retry")
+    rows2 = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert rows2 == rows
+
+
+def test_vacuum_removes_orphans_keeps_referenced(spark, tmpdir_path):
+    t = make_table(spark, tmpdir_path)
+    for i in range(3):
+        merge_batch(t, batch(spark, [ev(i, "i", f"k{i}", [i])]), batch_id=i)
+    before = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    # plant an orphan file (failed-commit leftover)
+    orphan_dir = os.path.join(t.root, "data", "c-orphan")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-dead.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not a real parquet")
+    deleted = vacuum(t, keep_last=1)
+    assert any("part-dead.parquet" in d for d in deleted)
+    # older snapshots' superseded files are also gone, current state intact
+    after = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert after == before
+    # time travel beyond keep_last is sacrificed (files removed)
+    assert not os.path.exists(orphan)

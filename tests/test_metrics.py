@@ -1,0 +1,63 @@
+"""Streaming listener metrics + lineage DataFrame (A3/ST5)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from jitsu_spark.changelog import CHANGELOG_SCHEMA, changelog_df
+from jitsu_spark.lake import LakeTable
+from jitsu_spark.streaming import CdcStreamJob
+from jitsu_spark.streaming.metrics import CdcQueryListener, lineage_frame
+from tests.test_merge import TARGET_SCHEMA
+
+
+def test_listener_and_lineage(spark, tmpdir_path):
+    log = changelog_df(spark, 1500, 100, seed=31)
+    src = os.path.join(tmpdir_path, "log")
+    for i in range(3):
+        log.filter((F.col("seq") >= i * 500) & (F.col("seq") < (i + 1) * 500)) \
+            .coalesce(1).write.mode("append").parquet(src)
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), TARGET_SCHEMA, "doc_id", n_buckets=4
+    )
+    listener = CdcQueryListener()
+    spark.streams.addListener(listener)
+    try:
+        job = CdcStreamJob(
+            table=table, source_dir=src,
+            checkpoint_dir=os.path.join(tmpdir_path, "ckpt"),
+            source_schema=CHANGELOG_SCHEMA, max_files_per_trigger=1,
+            job_id="t-metrics",
+        )
+        job.run_available_now(spark)
+    finally:
+        spark.streams.removeListener(listener)
+
+    # listener delivery is async — poll briefly for the tail events
+    import time
+
+    for _ in range(40):
+        if len({s["batch_id"] for s in listener.snapshots}) >= 3:
+            break
+        time.sleep(0.25)
+    batch_ids = {s["batch_id"] for s in listener.snapshots}
+    assert batch_ids == {0, 1, 2}
+    summary = listener.throughput_summary()
+    assert summary["batches"] >= 3
+    # NB: numInputRows counts every action's scan of the micro-batch source
+    # inside foreachBatch (stats pass + write job), so total_rows is a
+    # multiple of the true input size
+    assert summary["total_rows"] % 1500 == 0 and summary["total_rows"] >= 1500
+    assert summary["mean_rows_per_sec"] > 0
+
+    lf = lineage_frame(spark, table)
+    merges = lf.filter(F.col("kind") == "merge").collect()
+    assert len(merges) >= 3
+    # seq ranges must tile the log monotonically (per-partition lineage)
+    ranges = sorted((m["seq_min"], m["seq_max"]) for m in merges)
+    assert ranges[0][0] == 0 and ranges[-1][1] == 1499
+    for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+        assert a1 < b0  # disjoint, ordered
+    assert all(m["n_buckets_touched"] > 0 for m in merges)
