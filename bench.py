@@ -36,7 +36,9 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_cdc_replay(spark, n_events: int, n_docs: int, n_batches: int = 4) -> float:
+def bench_cdc_replay(
+    spark, n_events: int, n_docs: int, n_batches: int = 4, mode: str = "cow"
+) -> float:
     from jitsu_spark.changelog import changelog_df
     from jitsu_spark.lake import LakeTable
     from jitsu_spark.lake.merge import merge_batch
@@ -67,7 +69,8 @@ def bench_cdc_replay(spark, n_events: int, n_docs: int, n_batches: int = 4) -> f
         merge_batch(warm, log.filter(F.col("seq") < 20000), batch_id=0, job_id="warm")
 
         table = LakeTable.create(
-            spark, os.path.join(work, "tbl"), schema, "doc_id", n_buckets=64
+            spark, os.path.join(work, "tbl"), schema, "doc_id", n_buckets=64,
+            properties={"write.mode": mode},
         )
         per = n_events // n_batches
         t0 = time.time()
@@ -103,6 +106,10 @@ def main() -> None:
     queries["cdc_replay"] = round(secs, 3)
     extras["cdc_events"] = n_cdc
     extras["cdc_events_per_sec"] = round(n_cdc / secs, 1)
+
+    secs_mor = bench_cdc_replay(spark, n_cdc, max(n_cdc // 10, 1000), mode="mor")
+    queries["cdc_replay_mor"] = round(secs_mor, 3)
+    extras["cdc_mor_events_per_sec"] = round(n_cdc / secs_mor, 1)
 
     # operator suite over the driver tables at sf_dir
     suite = {
