@@ -159,8 +159,12 @@ def q_events_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
         )
+        # explicit final decimal: Spark sum(decimal(18,2)) -> decimal(28,2)
+        # while DuckDB yields DECIMAL(38,2); cast BOTH sides to (28,2) so the
+        # driver's value hash agrees (same fix as salted_rollup).
+        .select("hour", "n", F.col("_sv").cast("decimal(28,2)").alias("sum_value"))
     )
 
 
@@ -239,9 +243,16 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(dec("l_quantity")).alias("_sq"),
+            F.sum(dec("l_extendedprice")).alias("_sbp"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("decimal(28,2)").alias("sum_qty"),
+            F.col("_sbp").cast("decimal(28,2)").alias("sum_base_price"),
+            "count_order",
         )
     )
 
@@ -256,8 +267,13 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "n_name",
+            F.col("_rev").cast("decimal(28,2)").alias("revenue"),
+            "n_orders",
         )
     )
 
@@ -531,7 +547,8 @@ def oracle_sql() -> dict[str, str]:
         "events_per_hour": """
             SELECT date_trunc('hour', ts) AS hour,
                    count(*) AS n,
-                   sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                       AS sum_value
             FROM events GROUP BY 1
         """,
         "exact_dedup_documents": """
@@ -628,8 +645,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DECIMAL(28,2)) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DECIMAL(28,2)) AS sum_base_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -637,7 +656,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_nation": """
             SELECT n_name,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(28,2)) AS revenue,
                    count(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey

@@ -79,16 +79,39 @@ def main() -> int:
         orows = orel.fetchall()
         ocols = list(orel.columns)
         ok_cols = sorted(scols) == sorted(ocols)
+        # The driver's value hash is sensitive to declared decimal
+        # (precision, scale) — Spark decimal(28,2) vs DuckDB DECIMAL(38,2)
+        # hash-mismatches even when every value is equal (r1 lesson:
+        # events_per_hour/pricing_summary/revenue_by_nation). Replicate that
+        # strictness: any decimal column must declare the same (p, s) on
+        # both sides.
+        sdec = {
+            f.name: f.dataType.simpleString().upper()
+            for f in sdf.schema.fields
+            if f.dataType.simpleString().startswith("decimal")
+        }
+        odec = {
+            c: str(t).upper().replace(" ", "")
+            for c, t in zip(orel.columns, orel.types)
+            if str(t).upper().startswith("DECIMAL")
+        }
+        dec_mismatch = {
+            c: (sdec.get(c), odec.get(c))
+            for c in set(sdec) | set(odec)
+            if sdec.get(c) != odec.get(c)
+        }
         ok_n = len(srows) == len(orows)
         sh = value_hash(srows, scols)
         oh = value_hash(orows, ocols)
         ok_h = sh == oh
-        status = "OK " if (ok_cols and ok_n and ok_h) else "FAIL"
+        ok_dec = not dec_mismatch
+        status = "OK " if (ok_cols and ok_n and ok_h and ok_dec) else "FAIL"
         if status == "FAIL":
             failures += 1
         print(
             f"{name:28s} {status} rows={len(srows)}/{len(orows)} "
             f"cols={'=' if ok_cols else f'{scols} vs {ocols}'} hash={'=' if ok_h else f'{sh} vs {oh}'}"
+            + ("" if ok_dec else f" decimal_mismatch={dec_mismatch}")
         )
         if not ok_h and ok_cols and ok_n:
             order = sorted(range(len(scols)), key=lambda i: scols[i])
