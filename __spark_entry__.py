@@ -12,6 +12,7 @@ replay semantics are checkable against pure SQL window logic.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -24,6 +25,21 @@ from pyspark.sql import types as T
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_SCRATCH: str | None = None
+
+
+def _scratch(sub: str) -> str:
+    """Process-lifetime scratch dir: engine tables written here outlive the
+    query call, so queries return LAZY reads (no full-result collect —
+    the driver materializes)."""
+    global _SCRATCH
+    if _SCRATCH is None:
+        _SCRATCH = tempfile.mkdtemp(prefix="jitsu_entry_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=f"{sub}_", dir=_SCRATCH)
+    return os.path.join(d, "tbl")
 
 
 # ---------------------------------------------------------------------------
@@ -76,25 +92,18 @@ def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("value", T.DoubleType()),
         ]
     )
-    work = tempfile.mkdtemp(prefix="jitsu_entry_")
-    try:
-        table = LakeTable.create(
-            spark, os.path.join(work, "tbl"), schema, "doc_id", n_buckets=16
+    table = LakeTable.create(
+        spark, _scratch("replay"), schema, "doc_id", n_buckets=16
+    )
+    hi = log.agg(F.max("seq")).collect()[0][0] or 0
+    n_batches = 5
+    per = hi // n_batches + 1
+    for i in range(n_batches):
+        part = log.filter(
+            (F.col("seq") >= i * per) & (F.col("seq") < (i + 1) * per)
         )
-        hi = log.agg(F.max("seq")).collect()[0][0] or 0
-        n_batches = 5
-        per = hi // n_batches + 1
-        for i in range(n_batches):
-            part = log.filter(
-                (F.col("seq") >= i * per) & (F.col("seq") < (i + 1) * per)
-            )
-            merge_batch(table, part, batch_id=i, job_id="entry")
-        out = table.read().select("doc_id", "ts", "value")
-        # materialize before the temp dir disappears
-        out = spark.createDataFrame(out.collect(), out.schema)
-        return out
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+        merge_batch(table, part, batch_id=i, job_id="entry")
+    return table.read().select("doc_id", "ts", "value")
 
 
 def q_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,18 +310,13 @@ def q_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("value", T.LongType()),
         ]
     )
-    work = tempfile.mkdtemp(prefix="jitsu_widen_")
-    try:
-        table = LakeTable.create(
-            spark, os.path.join(work, "tbl"), schema, "doc_id", n_buckets=8
-        )
-        merge_batch(table, a, batch_id=0, job_id="widen")
-        merge_batch(table, b, batch_id=1, job_id="widen")
-        assert table.schema()["value"].dataType.simpleString() == "double"
-        out = table.read().select("doc_id", "value")
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    table = LakeTable.create(
+        spark, _scratch("widen"), schema, "doc_id", n_buckets=8
+    )
+    merge_batch(table, a, batch_id=0, job_id="widen")
+    merge_batch(table, b, batch_id=1, job_id="widen")
+    assert table.schema()["value"].dataType.simpleString() == "double"
+    return table.read().select("doc_id", "value")
 
 
 def q_cdc_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,25 +333,59 @@ def q_cdc_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("value", T.DoubleType()),
         ]
     )
-    work = tempfile.mkdtemp(prefix="jitsu_mor_entry_")
-    try:
-        table = LakeTable.create(
-            spark, os.path.join(work, "tbl"), schema, "doc_id",
-            n_buckets=16, properties={"write.mode": "mor"},
+    table = LakeTable.create(
+        spark, _scratch("mor"), schema, "doc_id",
+        n_buckets=16, properties={"write.mode": "mor"},
+    )
+    hi = log.agg(F.max("seq")).collect()[0][0] or 0
+    per = hi // 5 + 1
+    for i in range(5):
+        part = log.filter(
+            (F.col("seq") >= i * per) & (F.col("seq") < (i + 1) * per)
         )
-        hi = log.agg(F.max("seq")).collect()[0][0] or 0
-        per = hi // 5 + 1
-        for i in range(5):
-            part = log.filter(
-                (F.col("seq") >= i * per) & (F.col("seq") < (i + 1) * per)
-            )
-            merge_batch(table, part, batch_id=i, job_id="mor-entry")
-            if i == 2:
-                table.compact(max_files_per_bucket=2)
-        out = table.read().select("doc_id", "ts", "value")
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+        merge_batch(table, part, batch_id=i, job_id="mor-entry")
+        if i == 2:
+            table.compact(max_files_per_bucket=2)
+    return table.read().select("doc_id", "ts", "value")
+
+
+def q_mor_hot_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-aware MoR read: full replay folded to base via compaction,
+    then a single-key update dirties exactly one bucket — the read must
+    reconcile only that bucket and plain-scan the clean ones
+    (plan-asserted in tests/test_plans.py)."""
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+
+    log = _changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, _scratch("hotbucket"), schema, "doc_id",
+        n_buckets=16, properties={"write.mode": "mor"},
+    )
+    merge_batch(table, log, batch_id=0, job_id="hot-entry")
+    table.compact(max_files_per_bucket=0)  # fold every delta to base
+    hi = log.agg(F.max("seq")).collect()[0][0] or 0
+    hot = spark.createDataFrame(
+        [(hi + 1, "u", None, "7", 999.5)],
+        T.StructType(
+            [
+                T.StructField("seq", T.LongType()),
+                T.StructField("op", T.StringType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+    )
+    merge_batch(table, hot, batch_id=1, job_id="hot-entry")
+    return table.read().select("doc_id", "ts", "value")
 
 
 def q_time_chunk_resync(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,21 +404,16 @@ def q_time_chunk_resync(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("value", T.DoubleType()),
         ]
     )
-    work = tempfile.mkdtemp(prefix="jitsu_resync_entry_")
-    try:
-        table = LakeTable.create(
-            spark, os.path.join(work, "tbl"), schema, "doc_id", n_buckets=16
-        )
-        merge_batch(table, log, batch_id=0, job_id="resync-entry")
-        pred = F.col("ts") < F.lit(cutoff).cast("timestamp")
-        fresh = table.read().filter(pred).withColumn(
-            "value", F.col("value") * 2
-        )
-        overwrite_where(table, fresh, pred, chunk_id="h1")
-        out = table.read().select("doc_id", "ts", "value")
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    table = LakeTable.create(
+        spark, _scratch("resync"), schema, "doc_id", n_buckets=16
+    )
+    merge_batch(table, log, batch_id=0, job_id="resync-entry")
+    pred = F.col("ts") < F.lit(cutoff).cast("timestamp")
+    fresh = table.read().filter(pred).withColumn(
+        "value", F.col("value") * 2
+    )
+    overwrite_where(table, fresh, pred, chunk_id="h1")
+    return table.read().select("doc_id", "ts", "value")
 
 
 def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_replay_mor": q_cdc_replay_mor,
+        "mor_hot_bucket": q_mor_hot_bucket,
         "cdc_schema_widening": q_schema_widening,
         "time_chunk_resync": q_time_chunk_resync,
         "salted_rollup": q_salted_rollup,
@@ -479,6 +513,20 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT *, row_number() OVER (
                       PARTITION BY doc_id ORDER BY seq DESC) AS rn
                   FROM c)
+            SELECT doc_id, ts, value FROM r WHERE rn = 1 AND op <> 'd'
+        """,
+        "mor_hot_bucket": f"""
+            WITH c AS ({cl}),
+            aug AS (
+                SELECT * FROM c
+                UNION ALL
+                SELECT (SELECT max(seq) FROM c) + 1 AS seq, 'u' AS op,
+                       CAST(NULL AS TIMESTAMP) AS ts, '7' AS doc_id,
+                       CAST(999.5 AS DOUBLE) AS value
+            ),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY seq DESC) AS rn
+                  FROM aug)
             SELECT doc_id, ts, value FROM r WHERE rn = 1 AND op <> 'd'
         """,
         "time_chunk_resync": f"""

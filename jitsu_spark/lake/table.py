@@ -134,47 +134,61 @@ class LakeTable:
         Files are grouped by physical schema id (and, for merge-on-read
         deltas, by commit sequence); each group is read with its exact
         schema (no footer-merging scan) and cast to the logical schema in a
-        single projection. When the selected buckets contain MoR delta
-        files, base and deltas are reconciled here: LWW by commit sequence
-        per key, delta tombstones drop the key. Pure-base (CoW) reads skip
-        the reconcile aggregate entirely.
+        single projection.
+
+        MoR reconcile is **delta-aware per bucket**: rows are hash-bucketed
+        by key, so a key never spans buckets, and only the buckets that
+        actually contain delta files need the LWW reconcile aggregate
+        (max_by commit-seq per key, delta tombstones drop the key). Clean
+        buckets — including every bucket of a CoW table — union in as plain
+        pruned scans with no aggregate and no shuffle. At 100 TB with one
+        hot delta'd bucket this shuffles that one bucket, not the table.
         """
         snap = snap or self.snapshot(version)
         logical = T.StructType.fromJson(__import__("json").loads(snap.schema_json))
         wanted = (
             set(str(b) for b in buckets) if buckets is not None else set(snap.files)
         )
-        # group files: (schema_id, mseq) -> paths; mseq 0 = base
-        groups: dict[tuple[str, int], list[str]] = {}
-        has_delta = False
+        # split selected buckets: clean (base-only) vs dirty (>=1 delta file)
+        clean_groups: dict[str, list[str]] = {}  # schema_id -> paths
+        dirty_groups: dict[tuple[str, int], list[str]] = {}  # (sid, mseq) -> paths
         for b, entries in snap.files.items():
             if b not in wanted:
                 continue
-            for e in entries:
-                mseq = int(e.get("mseq", 0))
-                if e.get("kind", "base") == "delta":
-                    has_delta = True
-                groups.setdefault((e["schema_id"], mseq), []).append(
-                    os.path.join(self.root, e["path"])
-                )
-        if not groups:
+            if any(e.get("kind", "base") == "delta" for e in entries):
+                for e in entries:
+                    dirty_groups.setdefault(
+                        (e["schema_id"], int(e.get("mseq", 0))), []
+                    ).append(os.path.join(self.root, e["path"]))
+            else:
+                for e in entries:
+                    clean_groups.setdefault(e["schema_id"], []).append(
+                        os.path.join(self.root, e["path"])
+                    )
+        if not clean_groups and not dirty_groups:
             return self.spark.createDataFrame([], logical)
 
-        if not has_delta:
-            parts = []
-            for (sid, _), paths in groups.items():
-                phys = T.StructType.fromJson(
-                    __import__("json").loads(snap.schemas[sid])
-                )
-                df = self.spark.read.schema(phys).parquet(*paths)
-                parts.append(align_to_schema(df, logical))
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-            return out
+        parts = []
+        for sid, paths in clean_groups.items():
+            phys = T.StructType.fromJson(__import__("json").loads(snap.schemas[sid]))
+            df = self.spark.read.schema(phys).parquet(*paths)
+            parts.append(align_to_schema(df, logical))
+        if dirty_groups:
+            parts.append(self._reconcile_scan(dirty_groups, snap, logical))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
-        # MoR reconcile: base rows carry (_mseq=0, _op='u'); delta rows
-        # carry their commit seq and real op; latest wins, 'd' drops.
+    def _reconcile_scan(
+        self,
+        groups: dict[tuple[str, int], list[str]],
+        snap: Snapshot,
+        logical: T.StructType,
+    ) -> DataFrame:
+        """LWW-reconcile base+delta files of delta-bearing buckets: base
+        rows carry (_mseq=0, _op='u'); delta rows their commit seq and real
+        op; latest wins, 'd' drops the key."""
         key = snap.key_field
         from jitsu_spark.typesys.align import alignment_columns
 

@@ -125,6 +125,51 @@ def test_cow_read_has_no_reconcile_aggregate(spark, tmpdir_path):
     assert "Aggregate" not in plan
 
 
+def test_mor_read_delta_aware_bucket_pruning(spark, tmpdir_path):
+    """Only delta-bearing buckets go through the reconcile aggregate; clean
+    buckets union in as plain scans. At 100 TB with one hot delta'd bucket
+    the read shuffles that bucket, not the table."""
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+    from tests.test_merge import TARGET_SCHEMA, batch, ev
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TARGET_SCHEMA, "doc_id",
+        n_buckets=4, properties={"write.mode": "mor"},
+    )
+    # seed every bucket with base data, fold deltas to base
+    merge_batch(
+        t, batch(spark, [ev(i, "i", f"doc{i}", [i]) for i in range(40)]), batch_id=0
+    )
+    t.compact(max_files_per_bucket=0)
+    snap = t.snapshot()
+    assert all(
+        e.get("kind", "base") == "base" for es in snap.files.values() for e in es
+    )
+    # dirty exactly one bucket with a single-key update
+    merge_batch(t, batch(spark, [ev(100, "u", "doc0", [99])]), batch_id=1)
+    dirty = [
+        b for b, es in t.snapshot().files.items()
+        if any(e.get("kind", "base") == "delta" for e in es)
+    ]
+    assert len(dirty) == 1
+    df = t.read()
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert "Union" in tree
+    # a clean-bucket plain scan sits ABOVE the reconcile aggregate in the
+    # union (pre-fix, the aggregate topped the plan and consumed every scan)
+    first_scan = tree.find("Scan parquet")
+    agg_positions = [
+        p for p in (tree.find("HashAggregate"), tree.find("SortAggregate"))
+        if p >= 0
+    ]
+    assert agg_positions, tree
+    assert 0 <= first_scan < min(agg_positions), tree
+    rows = {r["doc_id"]: r["tokens"] for r in df.collect()}
+    assert len(rows) == 40 and rows["doc0"] == [99]
+
+
 def test_mor_read_reconciles_and_prunes(spark, tmpdir_path):
     from jitsu_spark.lake import LakeTable
     from jitsu_spark.lake.merge import merge_batch
