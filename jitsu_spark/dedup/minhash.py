@@ -32,13 +32,22 @@ def _tokens(col: Column) -> Column:
 
 
 def _shingles(col: Column, n: int) -> Column:
-    """Word n-gram shingles as strings (distinct)."""
+    """Word n-gram shingles as strings (distinct).
+
+    Documents shorter than ``n`` words yield one whole-doc shingle —
+    without the guard, F.sequence(0, size-n) goes negative and the
+    slice(toks, 0, n) crashes (INVALID_PARAMETER_VALUE.START) on any
+    short/empty doc. CaseWhen evaluates branches lazily, so the guarded
+    branch never runs for short docs."""
     toks = _tokens(col)
     if n == 1:
         return F.array_distinct(toks)
     idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        F.when(F.size(toks) >= n, grams).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
     )
 
 

@@ -113,11 +113,16 @@ def overwrite_where(
     return OverwriteResult(version=new_snap.version, n_inserted=n_inserted)
 
 
-def vacuum(table: LakeTable, keep_last: int = 1, min_age_s: float = 0.0) -> list[str]:
+def vacuum(
+    table: LakeTable, keep_last: int = 1, min_age_s: float = 300.0
+) -> list[str]:
     """Delete data files referenced by NO retained snapshot (the newest
     ``keep_last`` snapshots are retained; older snapshots lose time-travel).
-    Orphans younger than ``min_age_s`` are kept (an in-flight commit may
-    reference them momentarily). Returns deleted relative paths."""
+    Orphans younger than ``min_age_s`` are kept: an in-flight concurrent
+    commit writes its parquet files BEFORE the atomic metadata swap, so a
+    zero grace period could delete just-written files of an unpublished
+    snapshot. The 300 s default is conservative; pass 0 only on a
+    single-writer, quiesced table. Returns deleted relative paths."""
     current = md.current_version(table.root)
     retained = range(max(0, current - keep_last + 1), current + 1)
     referenced: set[str] = set()

@@ -98,8 +98,37 @@ def _version_path(root: str, version: int) -> str:
 
 
 def current_version(root: str) -> int:
+    """Current committed version = the hint, rolled FORWARD past any
+    complete ``v{N}.json`` whose hint rename was lost to a crash.
+
+    A writer killed between the O_EXCL claim of v{N}.json and the hint
+    rename would otherwise wedge the table permanently: every future
+    commit rebuilds version N and hits CommitConflict forever. A snapshot
+    counts as committed once its descriptor is complete (valid JSON —
+    truncated in-flight claims fail to parse and stop the roll-forward);
+    the hint is opportunistically repaired, best effort."""
     with open(_hint_path(root)) as f:
-        return int(f.read().strip())
+        v = int(f.read().strip())
+    hint = v
+    while True:
+        nxt = _version_path(root, v + 1)
+        if not os.path.exists(nxt):
+            break
+        try:
+            with open(nxt) as f:
+                Snapshot.from_json(f.read())
+        except (OSError, ValueError, TypeError, KeyError):
+            break  # incomplete claim (in-flight or dead writer)
+        v += 1
+    if v != hint:
+        try:
+            tmp = _hint_path(root) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, _hint_path(root))
+        except OSError:
+            pass
+    return v
 
 
 def load_snapshot(root: str, version: int | None = None) -> Snapshot:

@@ -73,7 +73,9 @@ def lineage_frame(spark: SparkSession, table: LakeTable) -> DataFrame:
                 "batch_id": str(entry.get("batch_id")),
                 "seq_min": entry.get("seq_min"),
                 "seq_max": entry.get("seq_max"),
-                "n_events": entry.get("n_events"),
+                # merge lineage records the count as n_keys (pre-LWW row
+                # count); older name n_events kept as a fallback
+                "n_keys": entry.get("n_keys", entry.get("n_events")),
                 "n_buckets_touched": len(entry.get("buckets", []) or []),
                 "schema_changed": bool(
                     entry.get("schema_added") or entry.get("schema_widened")
@@ -83,7 +85,7 @@ def lineage_frame(spark: SparkSession, table: LakeTable) -> DataFrame:
         )
     schema = (
         "commit_index long, kind string, job_id string, batch_id string, "
-        "seq_min long, seq_max long, n_events long, n_buckets_touched long, "
+        "seq_min long, seq_max long, n_keys long, n_buckets_touched long, "
         "schema_changed boolean, wall_s double"
     )
     return spark.createDataFrame(rows, schema)

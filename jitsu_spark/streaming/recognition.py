@@ -57,6 +57,7 @@ class RecognitionResult:
     n_recognized_in_batch: int
     n_parked: int
     n_reconciled: int
+    n_unkeyed: int = 0  # neither user_id nor anon_id: routed straight through
 
 
 class UserRecognition:
@@ -112,6 +113,10 @@ class UserRecognition:
         anonymous = batch_df.filter(
             F.col(user).isNull() & F.col(anon).isNotNull()
         )
+        # events with NEITHER id (e.g. a delete envelope without ids) can
+        # never be recognized — route them straight to the destination
+        # instead of silently dropping them
+        unkeyed = batch_df.filter(F.col(user).isNull() & F.col(anon).isNull())
 
         # 1. new identity mappings from this batch (LWW by seq)
         pairs = identified.filter(F.col(anon).isNotNull()).select(
@@ -133,9 +138,10 @@ class UserRecognition:
         recognized = enriched.filter(F.col(user).isNotNull())
         unmatched = enriched.filter(F.col(user).isNull())
 
-        to_destination = identified.unionByName(recognized)
+        to_destination = identified.unionByName(recognized).unionByName(unkeyed)
         n_direct = identified.count()
         n_recognized = recognized.count()
+        n_unkeyed = unkeyed.count()
         merge_batch(
             self.destination, to_destination, batch_id=batch_id,
             job_id=f"{job_id}-dest",
@@ -179,4 +185,6 @@ class UserRecognition:
                     pending, tombstones, batch_id=batch_id,
                     job_id=f"{job_id}-unpark",
                 )
-        return RecognitionResult(n_direct, n_recognized, n_parked, n_reconciled)
+        return RecognitionResult(
+            n_direct, n_recognized, n_parked, n_reconciled, n_unkeyed
+        )

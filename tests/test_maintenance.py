@@ -60,10 +60,42 @@ def test_vacuum_removes_orphans_keeps_referenced(spark, tmpdir_path):
     orphan = os.path.join(orphan_dir, "part-dead.parquet")
     with open(orphan, "wb") as f:
         f.write(b"not a real parquet")
-    deleted = vacuum(t, keep_last=1)
+    # default grace period protects just-written files (a concurrent
+    # in-flight commit writes parquet BEFORE the atomic metadata swap)
+    assert vacuum(t, keep_last=1) == []
+    assert os.path.exists(orphan)
+    # min_age_s=0 is the single-writer quiesced-table escape hatch
+    deleted = vacuum(t, keep_last=1, min_age_s=0)
     assert any("part-dead.parquet" in d for d in deleted)
     # older snapshots' superseded files are also gone, current state intact
     after = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
     assert after == before
     # time travel beyond keep_last is sacrificed (files removed)
     assert not os.path.exists(orphan)
+
+
+def test_crashed_commit_hint_rolls_forward(spark, tmpdir_path):
+    """A writer killed between the O_EXCL claim of v{N}.json and the hint
+    rename must not wedge the table: current_version detects the complete
+    snapshot ahead of the hint and rolls forward, so the next commit gets
+    version N+1 instead of CommitConflict forever."""
+    from jitsu_spark.lake import metadata as md
+
+    t = make_table(spark, tmpdir_path)
+    merge_batch(t, batch(spark, [ev(1, "i", "a", [1])]), batch_id=0)
+    v = md.current_version(t.root)
+    # simulate the crash: complete v{N+1}.json exists, hint still at N
+    snap = t.snapshot()
+    snap.version = v + 1
+    snap.parent = v
+    with open(os.path.join(t.root, "metadata", f"v{v + 1}.json"), "w") as f:
+        f.write(snap.to_json())
+    assert md.current_version(t.root) == v + 1  # rolled forward
+    # and the table accepts new commits on top of the orphaned version
+    merge_batch(t, batch(spark, [ev(2, "u", "a", [2])]), batch_id=1)
+    assert t.snapshot().version == v + 2
+    assert t.read().collect()[0]["tokens"] == [2]
+    # a TRUNCATED claim (in-flight or dead mid-write) does NOT roll forward
+    with open(os.path.join(t.root, "metadata", f"v{v + 3}.json"), "w") as f:
+        f.write('{"version": ')
+    assert md.current_version(t.root) == v + 2

@@ -78,6 +78,27 @@ def test_retrospective_recognition(spark, tmpdir_path):
     } == {"U1"}
 
 
+def test_unkeyed_events_route_to_destination(spark, tmpdir_path):
+    """Events with neither user_id nor anon_id (e.g. a delete envelope
+    without ids) must reach the destination merge, not vanish."""
+    dest = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "dest"), DEST_SCHEMA, "event_id",
+        n_buckets=4,
+    )
+    rec = UserRecognition(spark, tmpdir_path, dest)
+    b0 = spark.createDataFrame(
+        [ev(1, "e1", None, None, 5.0), ev(2, "e2", None, "u2")], BATCH_SCHEMA
+    )
+    r0 = rec.apply_batch(b0, batch_id=0)
+    assert r0.n_unkeyed == 1 and r0.n_direct == 1 and r0.n_parked == 0
+    assert {r["event_id"] for r in dest.read().collect()} == {"e1", "e2"}
+    # an unkeyed delete tombstone removes the row
+    b1 = spark.createDataFrame([ev(3, "e1", None, None, op="d")], BATCH_SCHEMA)
+    r1 = rec.apply_batch(b1, batch_id=1)
+    assert r1.n_unkeyed == 1
+    assert {r["event_id"] for r in dest.read().collect()} == {"e2"}
+
+
 def test_recognition_redelivery_idempotent(spark, tmpdir_path):
     dest = LakeTable.create(
         spark, os.path.join(tmpdir_path, "dest"), DEST_SCHEMA, "event_id",

@@ -56,6 +56,37 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert (1, 4) not in pairs  # unrelated docs don't
 
 
+def test_short_docs_survive_shingling(spark):
+    """Docs with fewer words than shingle_n (incl. empty) must not crash
+    the n-gram pipeline — they collapse to one whole-doc shingle (pre-fix:
+    F.sequence went negative and slice raised INVALID_PARAMETER_VALUE)."""
+    short = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=""),
+            Row(doc_id=2, text="one"),
+            Row(doc_id=3, text="two words"),
+            Row(doc_id=4, text="two words"),  # exact dup of 3
+            Row(doc_id=5, text="a normal length document with many words here"),
+        ]
+    )
+    sig = minhash_signature(short, "text", k=4, shingle_n=3)
+    assert sig.filter(F.col("mh0").isNull()).count() == 0
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            short, "doc_id", "text", k=8, bands=4, shingle_n=3
+        ).collect()
+    }
+    assert (3, 4) in pairs
+    j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            short, "doc_id", "text", shingle_n=3
+        ).collect()
+    }
+    assert j[(3, 4)] == 1.0
+
+
 def test_minhash_signature_deterministic(spark, docs):
     a = minhash_signature(docs, "text", k=4).collect()
     b = minhash_signature(docs, "text", k=4).collect()
