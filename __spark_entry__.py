@@ -455,12 +455,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing through mapInPandas (rows-only: decode is a
-    deterministic stub; Spark-side schema/batching is the tested part)."""
+    """Binary-column plumbing through mapInPandas. The decode stub is
+    sha256-over-payload-hex, so the FULL pipeline (synthetic payload ->
+    Arrow batches -> stub features) is oracle-exact: features are exposed
+    as their raw uint16 values (f32 -> u16 roundtrip is exact)."""
     from jitsu_spark.multimodal import decode_features, synthetic_media_df
 
     media = synthetic_media_df(spark, 1000, seed=42)
-    return decode_features(media).select("media_id", "kind", "n_bytes")
+    return decode_features(media).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.transform(
+            F.col("features"), lambda x: F.round(x * 65535).cast("int")
+        ).alias("features_u16"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -712,6 +721,96 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
-        # lsh_candidates / ann_lsh_topk / multimodal_features intentionally
-        # omitted: engine-internal bucketing / stubbed decode -> rows-only.
+        # every scheme below is md5/sha256-derived by design, so the
+        # engine-internal LSH bucketing and the multimodal stub decode are
+        # recomputable in pure SQL
+        "lsh_candidates": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) >= 3
+                            THEN list_distinct(list_transform(
+                                     range(1, len(tk)-1),
+                                     i -> array_to_string(tk[i:i+2], ' ')))
+                            ELSE [array_to_string(tk, ' ')] END AS s
+                FROM toks
+            ),
+            mh AS (
+                SELECT doc_id,
+                       {mins}
+                FROM sh
+            ),
+            bands AS (
+                SELECT doc_id, 0 AS band_no, md5(m0||'|'||m1) AS bh FROM mh
+                UNION ALL SELECT doc_id, 1, md5(m2||'|'||m3) FROM mh
+                UNION ALL SELECT doc_id, 2, md5(m4||'|'||m5) FROM mh
+                UNION ALL SELECT doc_id, 3, md5(m6||'|'||m7) FROM mh
+            )
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM bands l JOIN bands r
+              ON l.band_no = r.band_no AND l.bh = r.bh
+             AND l.doc_id < r.doc_id
+        """.format(
+            mins=", ".join(
+                f"list_min(list_transform(s, w -> md5('{i}#'||w))) AS m{i}"
+                for i in range(8)
+            )
+        ),
+        "ann_lsh_topk": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            proj AS (
+                SELECT e.vec_id, tj.j,
+                       sum(e.v[td.dd+1] *
+                           CASE WHEN (('0x'||substr(
+                                    md5(42||'#'||tj.j||'#'||td.dd),1,2))::INT
+                                 % 2) = 0
+                                THEN 1.0 ELSE -1.0 END) AS dot
+                FROM e, generate_series(0,7) tj(j),
+                     unnest(range(len(e.v))) AS td(dd)
+                GROUP BY e.vec_id, tj.j
+            ),
+            s AS (
+                SELECT p.vec_id, e.v,
+                       sum(CASE WHEN p.dot > 0 THEN 1<<p.j ELSE 0 END)::BIGINT
+                           AS sig
+                FROM proj p JOIN e USING (vec_id) GROUP BY p.vec_id, e.v
+            ),
+            probes AS (
+                SELECT vec_id AS qid, v AS qv, xor(sig, t.m) AS psig
+                FROM s, unnest([0,1,2,4,8]) AS t(m)
+                WHERE vec_id < 8
+            ),
+            sims AS (
+                SELECT DISTINCT q.qid, c.vec_id AS cid,
+                       round(list_cosine_similarity(q.qv, c.v), 4) AS sim
+                FROM probes q JOIN s c
+                  ON q.psig = c.sig AND q.qid <> c.vec_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+                FROM sims
+            )
+            SELECT qid AS vec_id_q, cid AS vec_id_c, sim, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "multimodal_features": """
+            WITH m AS (
+                SELECT i, md5(i||'#42') || md5(i||'#43') AS phex
+                FROM generate_series(0, 999) t(i)
+            )
+            SELECT printf('m%08d', i) AS media_id,
+                   ['image','audio','video'][
+                       (('0x'||substr(md5(i||'#42#kind'),1,2))::INT % 3) + 1
+                   ] AS kind,
+                   CAST(octet_length(unhex(phex)) AS INTEGER) AS n_bytes,
+                   [ ('0x'||substr(sha256(phex), 4*j+3, 2)
+                          ||substr(sha256(phex), 4*j+1, 2))::INT
+                     FOR j IN range(0,16) ] AS features_u16
+            FROM m
+        """,
     }

@@ -56,7 +56,17 @@ def synthetic_media_df(
     """Deterministic fake media: payload bytes derived columnar-ly from the
     row id (unhex of chained md5) — stands in for real blobs in tests."""
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
-    kidx = (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int")
+    # md5-derived kind index (not xxhash64): every engine has md5, so the
+    # DuckDB oracle regenerates identical rows
+    kidx = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("id"), F.lit(seed), F.lit("kind"))),
+                1, 2,
+            ),
+            16, 10,
+        ).cast("int") % 3 + 1
+    )
     payload = F.unhex(
         F.concat(
             F.md5(F.concat_ws("#", F.col("id"), F.lit(seed))),
@@ -87,7 +97,10 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     pyav frame grab) — same signature, same N_FEATURES output. The real
     libraries are absent from this container by design.
     """
-    digest = hashlib.sha256(payload).digest()
+    # hash the payload's lowercase hex (not raw bytes): every SQL engine
+    # can recompute sha256 over a hex VARCHAR, so the stub features are
+    # oracle-checkable end to end
+    digest = hashlib.sha256(payload.hex().encode()).digest()
     raw = np.frombuffer(digest[: N_FEATURES * 2], dtype=np.uint16)
     return (raw.astype(np.float32) / 65535.0)
 
