@@ -162,6 +162,73 @@ def q_mapping_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_mappings(e, rules, keep_unmapped=True)
 
 
+# deterministic UA corpus for the ua_parse entry query (md5-picked per
+# event, so the oracle regenerates identical rows)
+_UA_LIST = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+    "Mozilla/5.0 (Linux; Android 13; SM-G991B) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.6045.163 Mobile Safari/537.36",
+    "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+    "curl/8.4.0",
+]
+
+
+def _hex_byte(col, h_expr, pos: int):
+    return (
+        F.conv(F.substring(h_expr, pos, 2), 16, 10).cast("int")
+    )
+
+
+def q_ua_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 UA-parse enrichment over a deterministic synthetic UA column."""
+    from jitsu_spark.operators import with_parsed_ua
+
+    e = _read(spark, sf_dir, "events").select("event_id")
+    h = F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#ua")))
+    idx = _hex_byte(None, h, 1) % 8 + 1
+    ua = F.element_at(F.array(*[F.lit(u) for u in _UA_LIST]), idx)
+    out = with_parsed_ua(e.withColumn("user_agent", ua), "user_agent")
+    return out.select(
+        "event_id", "ua_family", "ua_version", "ua_os_family",
+        "ua_os_version", "ua_device_family", "ua_device_brand",
+        "ua_device_model", "ua_bot",
+    )
+
+
+def q_geo_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 ip->geo enrichment: bucketed broadcast range join against a
+    deterministic 256-block CIDR dimension (broadcast plan-asserted)."""
+    from jitsu_spark.operators import with_geo_lookup
+
+    e = _read(spark, sf_dir, "events").select("event_id")
+    h = F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#ip")))
+    ip = F.concat_ws(
+        ".",
+        F.lit("10"),
+        _hex_byte(None, h, 1).cast("string"),
+        _hex_byte(None, h, 3).cast("string"),
+        _hex_byte(None, h, 5).cast("string"),
+    )
+    dim = spark.range(256).select(
+        (F.lit(10 * 16777216) + F.col("id") * 65536).alias("net_start"),
+        (F.lit(10 * 16777216) + F.col("id") * 65536 + 65535).alias("net_end"),
+        F.concat(F.lit("C"), (F.col("id") % 32).cast("string")).alias("country"),
+        F.concat(F.lit("city-"), F.col("id").cast("string")).alias("city"),
+        F.round(F.col("id") * 0.5, 4).alias("latitude"),
+        F.round(F.col("id") * 0.7 - 80, 4).alias("longitude"),
+        (F.col("id") + 10000).cast("string").alias("zip"),
+        F.concat(F.lit("R"), (F.col("id") % 8).cast("string")).alias("region"),
+    )
+    out = with_geo_lookup(e.withColumn("ip", ip), dim, ip_col="ip")
+    return out.select(
+        "event_id", "ip", "geo_country", "geo_city", "geo_latitude",
+        "geo_longitude", "geo_zip", "geo_region",
+    )
+
+
 def q_events_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _read(spark, sf_dir, "events")
     return (
@@ -491,6 +558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_event_id": q_deterministic_event_id,
         "mapping_cast": q_mapping_cast,
         "events_per_hour": q_events_per_hour,
+        "ua_parse": q_ua_parse,
+        "geo_lookup": q_geo_lookup,
         "exact_dedup_documents": q_exact_dedup_documents,
         "text_quality": q_text_quality,
         "langid": q_langid,
@@ -505,6 +574,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
     }
+
+
+def _ua_oracle_sql() -> str:
+    """UA-parse oracle generated from the operator's own rule lists, so
+    Spark and SQL can never drift."""
+    from jitsu_spark.operators.geo_ua import _BOT_PATTERN, _OS_RULES, _UA_RULES
+
+    def fam_case(rules):
+        whens = " ".join(
+            f"WHEN regexp_matches(user_agent, '{d}') THEN '{fam}'"
+            for fam, d, _ in rules
+        )
+        return f"CASE {whens} ELSE 'Other' END"
+
+    def ver_case(rules):
+        whens = " ".join(
+            f"WHEN regexp_matches(user_agent, '{d}') THEN "
+            + (
+                f"coalesce(regexp_extract(user_agent, '{v}', 1), '')"
+                if v
+                else "''"
+            )
+            for _, d, v in rules
+        )
+        return f"CASE {whens} ELSE '' END"
+
+    ua_array = "[" + ", ".join(f"'{u}'" for u in _UA_LIST) + "]"
+    return f"""
+        WITH ev AS (
+            SELECT event_id,
+                   ({ua_array})[
+                       (('0x'||substr(md5(event_id||'#ua'),1,2))::INT % 8) + 1
+                   ] AS user_agent
+            FROM events
+        )
+        SELECT event_id,
+               {fam_case(_UA_RULES)} AS ua_family,
+               {ver_case(_UA_RULES)} AS ua_version,
+               {fam_case(_OS_RULES)} AS ua_os_family,
+               translate({ver_case(_OS_RULES)}, '_', '.') AS ua_os_version,
+               CASE WHEN regexp_matches(user_agent, 'iPhone') THEN 'iPhone'
+                    WHEN regexp_matches(user_agent, 'iPad') THEN 'iPad'
+                    WHEN regexp_matches(user_agent, 'Macintosh') THEN 'Mac'
+                    WHEN regexp_matches(user_agent, 'Android')
+                         THEN 'Generic Smartphone'
+                    ELSE 'Other' END AS ua_device_family,
+               CASE WHEN regexp_matches(user_agent, 'iPhone|iPad|Macintosh')
+                         THEN 'Apple'
+                    WHEN regexp_matches(user_agent, 'SM-[A-Z0-9]+')
+                         THEN 'Samsung'
+                    WHEN regexp_matches(user_agent, 'Pixel') THEN 'Google'
+                    ELSE '' END AS ua_device_brand,
+               CASE WHEN regexp_matches(user_agent, 'iPhone') THEN 'iPhone'
+                    WHEN regexp_matches(user_agent, 'iPad') THEN 'iPad'
+                    WHEN regexp_matches(user_agent, 'SM-[A-Z0-9]+')
+                         THEN coalesce(regexp_extract(
+                             user_agent, '(SM-[A-Z0-9]+)', 1), '')
+                    WHEN regexp_matches(user_agent, 'Pixel [0-9]+')
+                         THEN coalesce(regexp_extract(
+                             user_agent, '(Pixel [0-9]+)', 1), '')
+                    ELSE '' END AS ua_device_model,
+               regexp_matches(user_agent, '{_BOT_PATTERN}') AS ua_bot
+        FROM ev
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -607,6 +740,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
                        AS sum_value
             FROM events GROUP BY 1
+        """,
+        "ua_parse": _ua_oracle_sql(),
+        "geo_lookup": """
+            WITH ev AS (
+                SELECT event_id, md5(event_id||'#ip') AS h FROM events
+            ),
+            ip AS (
+                SELECT event_id,
+                       '10.' || ('0x'||substr(h,1,2))::INT
+                       || '.' || ('0x'||substr(h,3,2))::INT
+                       || '.' || ('0x'||substr(h,5,2))::INT AS ip,
+                       10*16777216 + ('0x'||substr(h,1,2))::INT*65536
+                       + ('0x'||substr(h,3,2))::INT*256
+                       + ('0x'||substr(h,5,2))::INT AS ipnum
+                FROM ev
+            ),
+            dim AS (
+                SELECT 10*16777216 + i*65536 AS net_start,
+                       10*16777216 + i*65536 + 65535 AS net_end,
+                       'C'||(i%32) AS country,
+                       'city-'||i AS city,
+                       round(CAST(i AS DOUBLE)*0.5, 4) AS latitude,
+                       round(CAST(i AS DOUBLE)*0.7 - 80, 4) AS longitude,
+                       CAST(10000+i AS VARCHAR) AS zip,
+                       'R'||(i%8) AS region
+                FROM generate_series(0, 255) t(i)
+            )
+            SELECT event_id, ip,
+                   country AS geo_country, city AS geo_city,
+                   latitude AS geo_latitude, longitude AS geo_longitude,
+                   zip AS geo_zip, region AS geo_region
+            FROM ip JOIN dim ON ipnum BETWEEN net_start AND net_end
         """,
         "exact_dedup_documents": """
             SELECT md5(COALESCE(CAST(text AS VARCHAR), '')) AS content_hash,

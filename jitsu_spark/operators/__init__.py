@@ -4,6 +4,11 @@ from jitsu_spark.operators.enrich import (
     with_context_enrichment,
     with_deterministic_event_id,
 )
+from jitsu_spark.operators.geo_ua import (
+    ip_to_long,
+    with_geo_lookup,
+    with_parsed_ua,
+)
 from jitsu_spark.operators.routing import route_to_tables, table_name_expr
 from jitsu_spark.operators.salting import salted_agg, salted_lww
 
@@ -16,6 +21,9 @@ __all__ = [
     "parse_rule",
     "with_context_enrichment",
     "with_deterministic_event_id",
+    "ip_to_long",
+    "with_geo_lookup",
+    "with_parsed_ua",
     "route_to_tables",
     "table_name_expr",
     "salted_agg",

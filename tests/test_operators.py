@@ -167,3 +167,87 @@ def test_salted_lww_equals_hash_agg_lww(spark):
         .collect()
     }
     assert via_salt == via_agg
+
+
+# ---------------------------------------------------------------------------
+# P11/P12: geo-IP + UA enrichment
+# ---------------------------------------------------------------------------
+
+def test_parsed_ua_golden(spark):
+    """Golden parses mirroring the reference's processor_test shapes."""
+    from jitsu_spark.operators import with_parsed_ua
+
+    uas = [
+        ("chrome", "Mozilla/5.0 (Windows NT 10.0; Win64; x64) "
+                   "AppleWebKit/537.36 (KHTML, like Gecko) "
+                   "Chrome/120.0.0.0 Safari/537.36"),
+        ("safari", "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) "
+                   "AppleWebKit/605.1.15 (KHTML, like Gecko) "
+                   "Version/17.1 Safari/605.1.15"),
+        ("iphone", "Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) "
+                   "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 "
+                   "Mobile/15E148 Safari/604.1"),
+        ("edge", "Mozilla/5.0 (Windows NT 10.0; Win64; x64) "
+                 "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 "
+                 "Safari/537.36 Edg/120.0.2210.91"),
+        ("samsung", "Mozilla/5.0 (Linux; Android 13; SM-G991B) "
+                    "AppleWebKit/537.36 (KHTML, like Gecko) "
+                    "Chrome/119.0.6045.163 Mobile Safari/537.36"),
+        ("bot", "Mozilla/5.0 (compatible; Googlebot/2.1; "
+                "+http://www.google.com/bot.html)"),
+    ]
+    df = spark.createDataFrame(uas, ["tag", "user_agent"])
+    rows = {r["tag"]: r for r in with_parsed_ua(df).collect()}
+    c = rows["chrome"]
+    assert (c["ua_family"], c["ua_version"]) == ("Chrome", "120.0.0.0")
+    assert (c["ua_os_family"], c["ua_os_version"]) == ("Windows", "10.0")
+    assert not c["ua_bot"]
+    s = rows["safari"]
+    assert (s["ua_family"], s["ua_version"]) == ("Safari", "17.1")
+    assert (s["ua_os_family"], s["ua_os_version"]) == ("Mac OS X", "10.15.7")
+    assert (s["ua_device_family"], s["ua_device_brand"]) == ("Mac", "Apple")
+    i = rows["iphone"]
+    assert i["ua_family"] == "Mobile Safari"
+    assert (i["ua_os_family"], i["ua_os_version"]) == ("iOS", "16.6")
+    assert (i["ua_device_family"], i["ua_device_model"]) == ("iPhone", "iPhone")
+    e = rows["edge"]
+    assert (e["ua_family"], e["ua_version"]) == ("Edge", "120.0.2210.91")
+    g = rows["samsung"]
+    assert (g["ua_os_family"], g["ua_os_version"]) == ("Android", "13")
+    assert (g["ua_device_brand"], g["ua_device_model"]) == ("Samsung", "SM-G991B")
+    b = rows["bot"]
+    assert b["ua_bot"] and b["ua_family"] == "Other"
+
+
+def test_geo_lookup_range_join(spark):
+    """CIDR-range lookup incl. a block spanning multiple /16 buckets,
+    a no-match IP, and a malformed IP (all keep NULL geo, as the
+    reference skips enrichment on resolve errors)."""
+    from jitsu_spark.operators import with_geo_lookup
+
+    def ipn(a, b, c, d):
+        return ((a * 256 + b) * 256 + c) * 256 + d
+
+    dim = spark.createDataFrame(
+        [
+            (ipn(10, 0, 0, 0), ipn(10, 0, 255, 255), "US", "nyc"),
+            # spans 4 /16 buckets: 10.4.0.0 - 10.7.255.255
+            (ipn(10, 4, 0, 0), ipn(10, 7, 255, 255), "DE", "berlin"),
+        ],
+        ["net_start", "net_end", "country", "city"],
+    )
+    events = spark.createDataFrame(
+        [
+            ("e1", "10.0.3.7"),
+            ("e2", "10.6.200.1"),   # inside the spanning block
+            ("e3", "10.9.0.1"),     # no block
+            ("e4", "not-an-ip"),    # malformed
+        ],
+        ["event_id", "source_ip"],
+    )
+    rows = {r["event_id"]: r for r in with_geo_lookup(events, dim).collect()}
+    assert (rows["e1"]["geo_country"], rows["e1"]["geo_city"]) == ("US", "nyc")
+    assert (rows["e2"]["geo_country"], rows["e2"]["geo_city"]) == ("DE", "berlin")
+    assert rows["e3"]["geo_country"] is None
+    assert rows["e4"]["geo_country"] is None
+    assert len(rows) == 4  # left join: no row loss, no duplication

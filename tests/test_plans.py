@@ -185,3 +185,27 @@ def test_mor_read_reconciles_and_prunes(spark, tmpdir_path):
     assert "Aggregate" in plan  # reconcile present
     rows = t.read().collect()
     assert len(rows) == 1 and rows[0]["tokens"] == [2]
+
+
+def test_geo_lookup_broadcasts_and_ua_parse_stays_codegen(spark):
+    """The geo dim must broadcast (fact side never shuffles) and the UA
+    parse must compile to pure expressions — no Python eval, no shuffle."""
+    from jitsu_spark.operators import with_geo_lookup, with_parsed_ua
+
+    fact = changelog_df(spark, 5000, 500, seed=4).withColumn(
+        "source_ip", F.lit("10.1.2.3")
+    ).withColumn("user_agent", F.lit("curl/8.4.0"))
+    dim = spark.createDataFrame(
+        [(167772160, 167837695, "US", "nyc")],
+        ["net_start", "net_end", "country", "city"],
+    )
+    geo = with_geo_lookup(fact, dim)
+    plan = plan_of(geo)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan
+
+    ua = with_parsed_ua(fact)
+    uplan = plan_of(ua)
+    assert "codegen id" in uplan
+    assert "Exchange" not in uplan
+    assert "BatchEvalPython" not in uplan and "ArrowEvalPython" not in uplan
