@@ -27,7 +27,7 @@ from jitsu_spark.lake import metadata as md
 from jitsu_spark.lake.metadata import Snapshot
 from jitsu_spark.lake.table import BUCKET_COL, LakeTable
 from jitsu_spark.typesys.align import alignment_columns
-from jitsu_spark.typesys.evolution import plan_evolution
+from jitsu_spark.typesys.evolution import max_columns_of, plan_evolution
 
 
 @dataclass
@@ -68,6 +68,7 @@ def overwrite_where(
         T.StructType.fromJson(J.loads(snap.schema_json)),
         replacement.schema,
         frozen=(key,),
+        max_columns=max_columns_of(snap.properties),
     )
     target = plan.target
     existing = table.read(snap=snap)

@@ -71,7 +71,7 @@ from jitsu_spark.lake.table import (
     LakeTable,
 )
 from jitsu_spark.typesys.align import alignment_columns
-from jitsu_spark.typesys.evolution import plan_evolution
+from jitsu_spark.typesys.evolution import max_columns_of, plan_evolution
 
 OP_INSERT, OP_UPDATE, OP_DELETE = "i", "u", "d"
 
@@ -182,6 +182,7 @@ def _merge_once(
         T.StructType.fromJson(json.loads(snap.schema_json)),
         payload_schema,
         frozen=(key,),
+        max_columns=max_columns_of(snap.properties),
     )
     target = plan.target
 
@@ -316,6 +317,7 @@ def append_batch(
         T.StructType.fromJson(json.loads(snap.schema_json)),
         T.StructType([f for f in batch_df.schema.fields]),
         frozen=(key,),
+        max_columns=max_columns_of(snap.properties),
     )
     target = plan.target
     df = batch_df.select(*alignment_columns(batch_df, target)).withColumn(

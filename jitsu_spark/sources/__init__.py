@@ -4,10 +4,22 @@ from jitsu_spark.sources.readers import (
     read_ndjson,
     split_malformed,
 )
+from jitsu_spark.sources.stream_sources import (
+    FileSource,
+    KafkaSource,
+    RateSource,
+    StreamSource,
+    default_rate_envelope,
+)
 
 __all__ = [
     "read_ndjson",
     "read_csv_typed",
     "parse_fallback_envelope",
     "split_malformed",
+    "StreamSource",
+    "FileSource",
+    "RateSource",
+    "KafkaSource",
+    "default_rate_envelope",
 ]

@@ -35,29 +35,38 @@ from jitsu_spark.lake.table import LakeTable
 
 @dataclass
 class CdcStreamJob:
-    """Config + driver for one change-log -> lake-table stream."""
+    """Config + driver for one change-log -> lake-table stream.
+
+    The source is either a directory tail (``source_dir`` — the original
+    file mode) or any :class:`~jitsu_spark.sources.stream_sources.
+    StreamSource` (``source=`` — rate/Kafka-style offset sources); both
+    ride the same checkpoint + commit-manifest exactly-once machinery."""
 
     table: LakeTable
-    source_dir: str
-    checkpoint_dir: str
+    source_dir: str | None = None
+    checkpoint_dir: str = ""
     job_id: str = "cdc"
     source_format: str = "parquet"  # or "json" (NDJSON lines)
     source_schema: T.StructType | None = None
     max_files_per_trigger: int | None = None
+    source: "StreamSource | None" = None  # takes precedence over source_dir
     transform: Callable[[DataFrame], DataFrame] | None = None  # pre-merge stage
     results: list[MergeResult] = field(default_factory=list)
 
     def _reader(self, spark: SparkSession):
-        reader = spark.readStream
-        if self.source_schema is not None:
-            reader = reader.schema(self.source_schema)
-        if self.max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", str(self.max_files_per_trigger))
-        if self.source_format == "parquet":
-            return reader.parquet(self.source_dir)
-        if self.source_format == "json":
-            return reader.json(self.source_dir)
-        raise ValueError(f"unsupported source format {self.source_format!r}")
+        from jitsu_spark.sources.stream_sources import FileSource
+
+        src = self.source
+        if src is None:
+            if self.source_dir is None:
+                raise ValueError("need source= or source_dir=")
+            src = FileSource(
+                self.source_dir,
+                source_format=self.source_format,
+                schema=self.source_schema,
+                max_files_per_trigger=self.max_files_per_trigger,
+            )
+        return src.read_stream(spark)
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.transform is not None:

@@ -19,6 +19,17 @@ from pyspark.sql import types as T
 from jitsu_spark.typesys.lattice import widen_spark_types
 
 
+class SchemaTooWideError(TypeError):
+    """Evolved schema would exceed the table's max_columns guard (D7;
+    semantics per /root/reference/server/storages/table_helper.go:94-100:
+    count of existing + added columns checked against a configurable cap
+    — here it rejects instead of warning, since unbounded growth from a
+    dynamic payload is an operator error at scale)."""
+
+
+MAX_COLUMNS_PROP = "schema.max_columns"
+
+
 @dataclass
 class EvolutionPlan:
     target: T.StructType
@@ -34,9 +45,11 @@ def plan_evolution(
     table_schema: T.StructType,
     batch_schema: T.StructType,
     frozen: tuple[str, ...] = (),
+    max_columns: int | None = None,
 ) -> EvolutionPlan:
     """Widened union of the two schemas. ``frozen`` columns (e.g. the merge
-    key) must not change type — a type conflict there is an error."""
+    key) must not change type — a type conflict there is an error; an
+    evolved schema wider than ``max_columns`` raises SchemaTooWideError."""
     batch = {f.name: f.dataType for f in batch_schema.fields}
     out: list[T.StructField] = []
     plan = EvolutionPlan(target=T.StructType([]))
@@ -61,7 +74,18 @@ def plan_evolution(
             plan.added.append(f.name)
             out.append(T.StructField(f.name, f.dataType, True))
     plan.target = T.StructType(out)
+    if max_columns is not None and len(out) > max_columns:
+        raise SchemaTooWideError(
+            f"evolved schema has {len(out)} columns "
+            f"(> {MAX_COLUMNS_PROP}={max_columns}); new: {plan.added}"
+        )
     return plan
+
+
+def max_columns_of(properties: dict) -> int | None:
+    """Read the table's max_columns guard from its properties (0/absent =
+    unlimited, matching the reference's th.maxColumns > 0 gate)."""
+    return int(properties.get(MAX_COLUMNS_PROP, 0)) or None
 
 
 def _same(a: T.DataType, b: T.DataType) -> bool:

@@ -71,3 +71,34 @@ def test_widen_structs():
     assert isinstance(w, T.StructType)
     assert w["x"].dataType.simpleString() == "double"
     assert w["y"].dataType.simpleString() == "string"
+
+
+def test_max_columns_guard():
+    """D7: evolution beyond the table's column cap is rejected instead of
+    growing the schema unboundedly (dynamic payloads at scale)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from jitsu_spark.typesys.evolution import (
+        SchemaTooWideError,
+        max_columns_of,
+        plan_evolution,
+    )
+
+    base = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("a", T.LongType())]
+    )
+    wide = T.StructType(
+        [T.StructField("k", T.StringType())]
+        + [T.StructField(f"c{i}", T.LongType()) for i in range(5)]
+    )
+    # under the cap: fine
+    plan = plan_evolution(base, wide, frozen=("k",), max_columns=10)
+    assert len(plan.target.fields) == 7
+    # over the cap: rejected with the offending columns named
+    with pytest.raises(SchemaTooWideError, match="c0"):
+        plan_evolution(base, wide, frozen=("k",), max_columns=4)
+    # property plumbing: absent/0 = unlimited (reference gate semantics)
+    assert max_columns_of({}) is None
+    assert max_columns_of({"schema.max_columns": 0}) is None
+    assert max_columns_of({"schema.max_columns": "8"}) == 8

@@ -243,3 +243,24 @@ def test_time_travel_snapshot_read(spark, tmpdir_path):
     merge_batch(t, batch(spark, [ev(2, "u", "a", [2])]), batch_id=1)
     assert t.read(version=v1).collect()[0]["tokens"] == [1]
     assert t.read().collect()[0]["tokens"] == [2]
+
+
+def test_merge_rejects_schema_wider_than_max_columns(spark, tmpdir_path):
+    """The guard rides the table property through the merge path."""
+    import pytest
+
+    from jitsu_spark.typesys.evolution import SchemaTooWideError
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), TARGET_SCHEMA, "doc_id",
+        n_buckets=4, properties={"schema.max_columns": 6},
+    )
+    merge_batch(t, batch(spark, [ev(1, "i", "a", [1])]), batch_id=0)
+    wide = batch(spark, [ev(2, "u", "a", [2])]).withColumn(
+        "extra1", F.lit(1)
+    ).withColumn("extra2", F.lit(2))
+    with pytest.raises(SchemaTooWideError):
+        merge_batch(t, wide, batch_id=1)
+    # table unchanged: the rejected batch must not half-commit
+    assert t.snapshot().version == 1
+    assert len(t.schema().fields) == 5

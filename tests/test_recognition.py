@@ -113,3 +113,56 @@ def test_recognition_redelivery_idempotent(spark, tmpdir_path):
     rec.apply_batch(b0, batch_id=0)  # foreachBatch redelivery
     after = sorted(map(str, dest.read().collect()))
     assert before == after
+
+
+def test_stateful_recognition_matches_pending_table_variant(spark, tmpdir_path):
+    """The applyInPandasWithState variant must produce the same final
+    destination state as the pending-table design over the same 3-phase
+    scenario (park -> identify/unpark -> inline recognition)."""
+    from pyspark.sql import functions as F
+
+    from jitsu_spark.lake.merge import merge_batch
+    from jitsu_spark.streaming.recognition_state import recognize_with_state
+
+    chunks = [
+        [ev(1, "e1", "a1", None), ev(2, "e2", "a1", None), ev(3, "e3", None, "u3")],
+        [ev(4, "e4", "a1", "U1", 9.0)],
+        [ev(5, "e5", "a1", None, 2.0)],
+    ]
+    src = os.path.join(tmpdir_path, "src")
+    for rows in chunks:
+        spark.createDataFrame(rows, BATCH_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    dest = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "dest"), DEST_SCHEMA, "event_id",
+        n_buckets=4,
+    )
+
+    def sink(bdf, bid):
+        merge_batch(dest, bdf, batch_id=bid, job_id="state-rec")
+
+    stream = (
+        spark.readStream.schema(BATCH_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        recognize_with_state(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmpdir_path, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    rows = {r["event_id"]: r for r in dest.read().collect()}
+    assert set(rows) == {"e1", "e2", "e3", "e4", "e5"}
+    assert rows["e1"]["user_id"] == "U1"   # unparked retroactively
+    assert rows["e2"]["user_id"] == "U1"
+    assert rows["e3"]["user_id"] == "u3"   # direct passthrough
+    assert rows["e5"]["user_id"] == "U1"   # recognized from kept mapping
+    assert rows["e5"]["value"] == 2.0
+    assert rows["e1"]["value"] == 1.0      # parked payload survives intact
