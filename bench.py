@@ -133,6 +133,68 @@ def main() -> None:
         _noop_write(fn(spark, sf_dir))
         queries[name] = round(time.time() - t0, 3)
 
+    # enrichment operators added in r2
+    for name, fn in {"ua_parse": entry.q_ua_parse, "geo_lookup": entry.q_geo_lookup}.items():
+        t0 = time.time()
+        _noop_write(fn(spark, sf_dir))
+        queries[name] = round(time.time() - t0, 3)
+
+    # sf1-equivalent dedup/ANN: inflate documents/embeddings 10x (texts
+    # mutated per replica so LSH buckets stay realistic; embeddings
+    # perturbed so near-dup structure doesn't degenerate), then run the
+    # bucketed-join family at that scale — regressions in the banded joins
+    # are invisible at sf0.1.
+    docs_scale = int(os.environ.get("JITSU_BENCH_DOCS_SCALE", "10"))
+    if docs_scale > 1:
+        inflated = tempfile.mkdtemp(prefix="jitsu_bench_sf1_")
+        try:
+            rep = spark.range(docs_scale).select(F.col("id").alias("_rep"))
+            d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            n_docs_base = d.count()
+            (
+                d.crossJoin(rep)
+                .select(
+                    (F.col("doc_id") + F.col("_rep") * 10_000_000).alias("doc_id"),
+                    F.when(F.col("_rep") == 0, F.col("text"))
+                    .otherwise(
+                        F.concat(F.col("text"), F.lit(" r"), F.col("_rep"))
+                    )
+                    .alias("text"),
+                )
+                .write.parquet(os.path.join(inflated, "documents.parquet"))
+            )
+            e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            (
+                e.crossJoin(rep)
+                .select(
+                    (F.col("vec_id") + F.col("_rep") * 10_000_000).alias("vec_id"),
+                    F.transform(
+                        "embedding",
+                        lambda x: x + (F.col("_rep") % 7).cast("float") * 0.003,
+                    ).alias("embedding"),
+                )
+                .write.parquet(os.path.join(inflated, "embeddings.parquet"))
+            )
+            scaled = {
+                "lsh_candidates_10x": entry.q_lsh_candidates,
+                "ann_lsh_topk_10x": entry.q_ann_lsh_topk,
+                "minhash_signature_10x": entry.q_minhash_signature,
+            }
+            # recorded as extras, NOT in the headline total: the inflated
+            # corpus is near-dup-heavy by construction (it stresses the
+            # banded-join skew path), so its absolute time tracks corpus
+            # shape, not engine regressions in the core suite
+            sf1_queries: dict[str, float] = {}
+            for name, fn in scaled.items():
+                t0 = time.time()
+                _noop_write(fn(spark, inflated))
+                sf1_queries[name] = round(time.time() - t0, 3)
+            extras["sf1_queries"] = sf1_queries
+            extras["docs_scale"] = docs_scale
+            extras["docs_scaled_rows"] = n_docs_base * docs_scale
+        finally:
+            shutil.rmtree(inflated, ignore_errors=True)
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(

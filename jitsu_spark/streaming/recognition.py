@@ -188,3 +188,23 @@ class UserRecognition:
         return RecognitionResult(
             n_direct, n_recognized, n_parked, n_reconciled, n_unkeyed
         )
+
+    def expire_pending(self, before_seq: int, batch_id=None) -> int:
+        """TTL analog of the reference's parked-state expiry: drop parked
+        events whose original seq precedes ``before_seq``, bounding the
+        pending backlog at scale (events older than the retention horizon
+        can never be meaningfully identified). Returns the count dropped."""
+        if self._pending is None:
+            return 0
+        parked = self._pending.read()
+        stale = parked.filter(F.col("orig_seq") < before_seq)
+        n = stale.count()
+        if n:
+            tombstones = stale.withColumn("seq", F.col("orig_seq")).withColumn(
+                "op", F.lit("d")
+            )
+            merge_batch(
+                self._pending, tombstones, batch_id=batch_id,
+                job_id="recognition-expire",
+            )
+        return n

@@ -119,8 +119,6 @@ def test_stateful_recognition_matches_pending_table_variant(spark, tmpdir_path):
     """The applyInPandasWithState variant must produce the same final
     destination state as the pending-table design over the same 3-phase
     scenario (park -> identify/unpark -> inline recognition)."""
-    from pyspark.sql import functions as F
-
     from jitsu_spark.lake.merge import merge_batch
     from jitsu_spark.streaming.recognition_state import recognize_with_state
 
@@ -166,3 +164,26 @@ def test_stateful_recognition_matches_pending_table_variant(spark, tmpdir_path):
     assert rows["e5"]["user_id"] == "U1"   # recognized from kept mapping
     assert rows["e5"]["value"] == 2.0
     assert rows["e1"]["value"] == 1.0      # parked payload survives intact
+
+
+def test_expire_pending_bounds_state(spark, tmpdir_path):
+    """Parked events older than the retention horizon are dropped; newer
+    ones stay identifiable."""
+    dest = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "dest"), DEST_SCHEMA, "event_id",
+        n_buckets=4,
+    )
+    rec = UserRecognition(spark, tmpdir_path, dest)
+    b0 = spark.createDataFrame(
+        [ev(1, "e1", "a1", None), ev(50, "e2", "a2", None)], BATCH_SCHEMA
+    )
+    rec.apply_batch(b0, batch_id=0)
+    assert rec._pending.read().count() == 2
+    assert rec.expire_pending(before_seq=10, batch_id="exp0") == 1
+    assert {r["event_id"] for r in rec._pending.read().collect()} == {"e2"}
+    # the surviving parked event is still identifiable
+    b1 = spark.createDataFrame([ev(60, "e3", "a2", "U2")], BATCH_SCHEMA)
+    r1 = rec.apply_batch(b1, batch_id=1)
+    assert r1.n_reconciled == 1
+    rows = {r["event_id"]: r["user_id"] for r in dest.read().collect()}
+    assert rows.get("e2") == "U2" and "e1" not in rows
