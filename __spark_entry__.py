@@ -311,6 +311,19 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(queries, emb, "vec_id", "vec_id", "embedding", k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic sampled-centroid coarse quantizer, n_probe
+    cells, exact re-rank (the second scale path next to LSH)."""
+    from jitsu_spark.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(
+        queries, emb, "vec_id", "vec_id", "embedding",
+        k=5, centroid_stride=25, n_probe=3,
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregate; decimal sums for exact cross-engine math."""
     l = _read(spark, sf_dir, "lineitem")
@@ -568,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
+        "ivf_topk": q_ivf_topk,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "lsh_candidates": q_lsh_candidates,
@@ -856,6 +870,51 @@ def oracle_sql() -> dict[str, str]:
                            AS sim
                 FROM q, embeddings e
                 WHERE q.qid <> e.vec_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+                FROM sims
+            )
+            SELECT qid AS vec_id_q, cid AS vec_id_c, sim, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "ivf_topk": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cent AS (
+                SELECT vec_id AS cent_id, v AS cvec FROM e
+                WHERE vec_id % 25 = 0
+            ),
+            c_assign AS (
+                SELECT vec_id, cent_id FROM (
+                    SELECT e.vec_id, cent.cent_id,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY round(list_cosine_similarity(
+                                   e.v, cent.cvec), 6) DESC,
+                               cent.cent_id ASC) AS cr
+                    FROM e, cent
+                ) WHERE cr = 1
+            ),
+            q_assign AS (
+                SELECT vec_id, cent_id FROM (
+                    SELECT e.vec_id, cent.cent_id,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY round(list_cosine_similarity(
+                                   e.v, cent.cvec), 6) DESC,
+                               cent.cent_id ASC) AS cr
+                    FROM e, cent WHERE e.vec_id < 8
+                ) WHERE cr <= 3
+            ),
+            sims AS (
+                SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid,
+                       round(list_cosine_similarity(qe.v, ce.v), 4) AS sim
+                FROM q_assign q
+                JOIN c_assign c
+                  ON q.cent_id = c.cent_id AND q.vec_id <> c.vec_id
+                JOIN e qe ON qe.vec_id = q.vec_id
+                JOIN e ce ON ce.vec_id = c.vec_id
             ),
             ranked AS (
                 SELECT *, row_number() OVER (

@@ -1,3 +1,8 @@
-from jitsu_spark.similarity.ann import cosine_topk, cosine_topk_lsh, embedding_near_dups
+from jitsu_spark.similarity.ann import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_near_dups,
+    ivf_topk,
+)
 
-__all__ = ["cosine_topk", "cosine_topk_lsh", "embedding_near_dups"]
+__all__ = ["cosine_topk", "cosine_topk_lsh", "embedding_near_dups", "ivf_topk"]

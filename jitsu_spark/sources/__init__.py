@@ -4,6 +4,11 @@ from jitsu_spark.sources.readers import (
     read_ndjson,
     split_malformed,
 )
+from jitsu_spark.sources.interval_sync import (
+    IntervalDriver,
+    IntervalSyncJob,
+    TimeInterval,
+)
 from jitsu_spark.sources.stream_sources import (
     FileSource,
     KafkaSource,
@@ -22,4 +27,7 @@ __all__ = [
     "RateSource",
     "KafkaSource",
     "default_rate_envelope",
+    "IntervalDriver",
+    "IntervalSyncJob",
+    "TimeInterval",
 ]

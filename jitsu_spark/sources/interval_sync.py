@@ -1,0 +1,123 @@
+"""API-source interval pull-sync (S8): chunked time-interval re-sync.
+
+Reference semantics (re-derived, no code ported):
+- a pull driver enumerates the time intervals it can load and returns
+  the objects of one interval at a time
+  (/root/reference/server/drivers/driver.go:8-22);
+- the sync service keeps a per-interval SIGNATURE (a change watermark
+  with a trailing-lag rule, /root/reference/server/drivers/
+  time_interval.go:32-39) and re-syncs only intervals whose signature
+  changed, replacing that interval's rows in the destination.
+
+Spark-first re-expression: an interval re-sync IS
+``lake.maintenance.overwrite_where`` — an atomic, idempotent,
+predicate-scoped replace. The chunk_id is ``<interval>:<signature>``, so
+a re-run of an unchanged interval is skipped by the engine's own commit
+manifest even if the sidecar state is lost (two independent idempotency
+layers), while a changed signature mints a new chunk_id and re-applies.
+
+At 100 TB: each interval chunk is an independent bounded job (the
+reference's 16-task worker pool maps to running several interval syncs
+concurrently — each overwrite commits optimistically); the destination
+scan prunes to the predicate's time range via min/max stats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jitsu_spark.lake.maintenance import overwrite_where
+from jitsu_spark.lake.table import LakeTable
+
+
+@dataclass(frozen=True)
+class TimeInterval:
+    """One loadable chunk: [lower, upper) as ISO strings; ``id`` is the
+    stable chunk identity (reference: TZ_granularity_time string)."""
+
+    id: str
+    lower: str  # inclusive, e.g. "2024-01-01 00:00:00"
+    upper: str  # exclusive
+
+
+class IntervalDriver:
+    """A pull source = interval enumeration + per-interval read + a
+    change signature (watermark). Implement for each upstream API."""
+
+    def available_intervals(self) -> list[TimeInterval]:  # pragma: no cover
+        raise NotImplementedError
+
+    def read_interval(
+        self, spark: SparkSession, interval: TimeInterval
+    ) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+    def signature(self, interval: TimeInterval) -> str:  # pragma: no cover
+        raise NotImplementedError
+
+
+@dataclass
+class SyncReport:
+    synced: list[str] = field(default_factory=list)
+    skipped: list[str] = field(default_factory=list)
+
+
+class IntervalSyncJob:
+    """Signature-gated interval re-sync into a LakeTable."""
+
+    def __init__(
+        self,
+        table: LakeTable,
+        driver: IntervalDriver,
+        ts_col: str,
+        state_path: str,
+        job_id: str = "interval-sync",
+    ):
+        self.table = table
+        self.driver = driver
+        self.ts_col = ts_col
+        self.state_path = state_path
+        self.job_id = job_id
+
+    def _load_state(self) -> dict:
+        try:
+            with open(self.state_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _save_state(self, state: dict) -> None:
+        tmp = self.state_path + ".tmp"
+        os.makedirs(os.path.dirname(self.state_path) or ".", exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.state_path)
+
+    def run_once(self, spark: SparkSession) -> SyncReport:
+        """Sync every interval whose signature changed since the last
+        run. Each interval is one atomic overwrite; state is saved after
+        each interval so a crash resumes where it left off."""
+        state = self._load_state()
+        report = SyncReport()
+        for itv in self.driver.available_intervals():
+            sig = self.driver.signature(itv)
+            if state.get(itv.id) == sig:
+                report.skipped.append(itv.id)
+                continue
+            df = self.driver.read_interval(spark, itv)
+            pred = (
+                F.col(self.ts_col) >= F.lit(itv.lower).cast("timestamp")
+            ) & (F.col(self.ts_col) < F.lit(itv.upper).cast("timestamp"))
+            overwrite_where(
+                self.table, df, pred,
+                chunk_id=f"{itv.id}:{sig}", job_id=self.job_id,
+            )
+            state[itv.id] = sig
+            self._save_state(state)
+            report.synced.append(itv.id)
+        return report

@@ -187,3 +187,37 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample_offsets(media, every_ms=10000)
     f = frames.collect()
     assert len(f) > 0 and all(r["frame_ms"] >= 0 for r in f)
+
+
+def test_ivf_topk_full_probe_equals_exact(spark, embeddings):
+    """Probing every cell makes IVF candidates = the whole corpus, so the
+    result must equal brute-force top-k exactly; default probing keeps
+    recall@5 high."""
+    from jitsu_spark.similarity import cosine_topk, ivf_topk
+
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["vec_id_q"], r["vec_id_c"])
+        for r in cosine_topk(
+            queries, embeddings, "vec_id", "vec_id", "embedding", k=5
+        ).collect()
+    }
+    stride = 10
+    n_cells = embeddings.filter((F.col("vec_id") % stride) == 0).count()
+    full = {
+        (r["vec_id_q"], r["vec_id_c"])
+        for r in ivf_topk(
+            queries, embeddings, "vec_id", "vec_id", "embedding",
+            k=5, centroid_stride=stride, n_probe=n_cells,
+        ).collect()
+    }
+    assert full == exact
+    probed = {
+        (r["vec_id_q"], r["vec_id_c"])
+        for r in ivf_topk(
+            queries, embeddings, "vec_id", "vec_id", "embedding",
+            k=5, centroid_stride=stride, n_probe=3,
+        ).collect()
+    }
+    recall = len(probed & exact) / len(exact)
+    assert recall >= 0.5, recall
