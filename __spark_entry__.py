@@ -311,6 +311,42 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(queries, emb, "vec_id", "vec_id", "embedding", k=5)
 
 
+def q_ga_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 analog: GA Measurement-Protocol payload templating (sorted
+    url-encoded pairs, event-type alias table, tid/v stamps)."""
+    from jitsu_spark.operators.conversion import ga_payload
+
+    e = _read(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("cid"),
+        F.col("event_type").alias("t"),
+        F.col("value").cast("string").alias("ev"),
+    )
+    out = ga_payload(e, tracking_id="UA-1", fields=["cid", "t", "ev"])
+    return out.select("cid", "ga_payload")
+
+
+def q_fb_user_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 analog: Facebook Conversions customer-information hashing —
+    sha256 the user-data fields; email hashed only when not pre-hashed
+    (still contains '@')."""
+    from jitsu_spark.operators.conversion import fb_hash_user_data
+
+    e = _read(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.col("user_id").cast("string").alias("ud_ph"),
+        F.lit("US").alias("ud_country"),
+        # half the emails arrive pre-hashed (no '@') — must pass through
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat(F.lit("user"), F.col("user_id"), F.lit("@example.com")),
+        )
+        .otherwise(F.md5(F.col("user_id").cast("string")))
+        .alias("em"),
+    )
+    out = fb_hash_user_data(e, prefix="ud_", email_col="em")
+    return out.select("event_id", "ud_ph", "ud_country", "em")
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic sampled-centroid coarse quantizer, n_probe
     cells, exact re-rank (the second scale path next to LSH)."""
@@ -582,6 +618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
+        "ga_payload": q_ga_payload,
+        "fb_user_hash": q_fb_user_hash,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "lsh_candidates": q_lsh_candidates,
@@ -878,6 +916,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid AS vec_id_q, cid AS vec_id_c, sim, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "ga_payload": """
+            SELECT CAST(event_id AS VARCHAR) AS cid,
+                   'cid=' || event_id
+                   || '&ev=' || CAST(value AS VARCHAR)
+                   || '&t=' || CASE event_type
+                        WHEN 'pageview' THEN 'pageview'
+                        WHEN 'screenview' THEN 'screenview'
+                        WHEN 'event' THEN 'event'
+                        WHEN 'conversion' THEN 'transaction'
+                        WHEN 'transaction' THEN 'transaction'
+                        WHEN 'item' THEN 'item'
+                        WHEN 'social' THEN 'social'
+                        WHEN 'exception' THEN 'exception'
+                        WHEN 'timing' THEN 'timing'
+                        ELSE 'event' END
+                   || '&tid=UA-1&v=1' AS ga_payload
+            FROM events
+        """,
+        "fb_user_hash": """
+            SELECT event_id,
+                   sha256(CAST(user_id AS VARCHAR)) AS ud_ph,
+                   sha256('US') AS ud_country,
+                   CASE WHEN event_id % 2 = 0
+                        THEN sha256('user' || user_id || '@example.com')
+                        ELSE md5(CAST(user_id AS VARCHAR)) END AS em
+            FROM events
         """,
         "ivf_topk": """
             WITH e AS (

@@ -251,3 +251,62 @@ def test_geo_lookup_range_join(spark):
     assert rows["e3"]["geo_country"] is None
     assert rows["e4"]["geo_country"] is None
     assert len(rows) == 4  # left join: no row loss, no duplication
+
+
+# ---------------------------------------------------------------------------
+# W10 analog: conversion payload templating + spool sink
+# ---------------------------------------------------------------------------
+
+def test_ga_payload_templating(spark):
+    from jitsu_spark.operators.conversion import ga_payload
+
+    df = spark.createDataFrame(
+        [("1", "conversion", "9.5"), ("2", "click", "1.0"), ("3", "x", "a b")],
+        ["cid", "t", "ev"],
+    )
+    rows = {
+        r["cid"]: r["ga_payload"]
+        for r in ga_payload(df, tracking_id="UA-9").collect()
+    }
+    # keys sorted, event type aliased through the GA table, tid/v stamped
+    assert rows["1"] == "cid=1&ev=9.5&t=transaction&tid=UA-9&v=1"
+    # unknown event types default to 'event'
+    assert rows["2"] == "cid=2&ev=1.0&t=event&tid=UA-9&v=1"
+    # values are url-encoded (space -> +)
+    assert rows["3"] == "cid=3&ev=a+b&t=event&tid=UA-9&v=1"
+
+
+def test_fb_user_data_hashing(spark):
+    import hashlib
+
+    from jitsu_spark.operators.conversion import fb_hash_user_data
+
+    pre_hashed = hashlib.sha256(b"x@y.z").hexdigest()
+    df = spark.createDataFrame(
+        [("a@b.c", "555", "alice"), (pre_hashed, "777", "bob")],
+        ["em", "ud_ph", "ud_fn"],
+    )
+    rows = {r["ud_ph"]: r for r in fb_hash_user_data(df, email_col="em").collect()}
+    h = lambda s: hashlib.sha256(s.encode()).hexdigest()  # noqa: E731
+    assert rows[h("555")]["em"] == h("a@b.c")     # raw email hashed
+    assert rows[h("777")]["em"] == pre_hashed     # pre-hashed passes through
+    assert rows[h("555")]["ud_fn"] == h("alice")  # customer fields hashed
+
+
+def test_conversion_spool_sink_idempotent(spark, tmpdir_path):
+    import os
+
+    from jitsu_spark.operators.conversion import ConversionSpoolSink, ga_payload
+
+    spool = os.path.join(tmpdir_path, "spool")
+    sink = ConversionSpoolSink(spool)
+    batch = ga_payload(
+        spark.createDataFrame([("1", "event", "5")], ["cid", "t", "ev"]),
+        tracking_id="UA-9",
+    )
+    sink.apply(batch, batch_id=7)
+    sink.apply(batch, batch_id=7)  # redelivery overwrites, not appends
+    lines = (
+        spark.read.text(os.path.join(spool, "batch=7")).collect()
+    )
+    assert [r["value"] for r in lines] == ["cid=1&ev=5&t=event&tid=UA-9&v=1"]
