@@ -9,6 +9,12 @@ from jitsu_spark.sources.interval_sync import (
     IntervalSyncJob,
     TimeInterval,
 )
+from jitsu_spark.sources.singer import (
+    SingerMessages,
+    latest_state,
+    singer_records,
+    split_singer_messages,
+)
 from jitsu_spark.sources.stream_sources import (
     FileSource,
     KafkaSource,
@@ -30,4 +36,8 @@ __all__ = [
     "IntervalDriver",
     "IntervalSyncJob",
     "TimeInterval",
+    "SingerMessages",
+    "split_singer_messages",
+    "singer_records",
+    "latest_state",
 ]

@@ -51,6 +51,12 @@ class CdcStreamJob:
     max_files_per_trigger: int | None = None
     source: "StreamSource | None" = None  # takes precedence over source_dir
     transform: Callable[[DataFrame], DataFrame] | None = None  # pre-merge stage
+    # background compaction cadence: after every N applied batches, fold
+    # buckets above the file-count threshold (MoR deltas back to base /
+    # CoW small files together). At the 10^10-event tail this bounds the
+    # read amplification of write.mode=mor without blocking every batch.
+    compact_every_n_batches: int | None = None
+    compact_max_files_per_bucket: int = 8
     results: list[MergeResult] = field(default_factory=list)
 
     def _reader(self, spark: SparkSession):
@@ -75,6 +81,12 @@ class CdcStreamJob:
             self.table, batch_df, batch_id=batch_id, job_id=self.job_id
         )
         self.results.append(res)
+        if self.compact_every_n_batches:
+            applied = len([r for r in self.results if not r.skipped])
+            if applied and applied % self.compact_every_n_batches == 0:
+                self.table.compact(
+                    max_files_per_bucket=self.compact_max_files_per_bucket
+                )
 
     def run_available_now(self, spark: SparkSession, timeout_s: int = 600) -> list[MergeResult]:
         """Replay the current backlog to completion and stop (the batch

@@ -160,3 +160,96 @@ def test_interval_sync_signature_gated(spark, tmpdir_path):
     r4 = job.run_once(spark)
     assert set(r4.synced) == {"2024-01", "2024-02"}  # state says resync...
     assert t.snapshot().version == v  # ...but the manifest skipped both
+
+
+# ---------------------------------------------------------------------------
+# S9: Singer tap protocol
+# ---------------------------------------------------------------------------
+
+def test_singer_message_parsing(spark):
+    """SCHEMA/RECORD/STATE split, typed record extraction with corrupt
+    dead-lettering, and last-state bookmark selection."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from jitsu_spark.sources.singer import (
+        latest_state,
+        singer_records,
+        split_singer_messages,
+    )
+
+    lines = [
+        '{"type": "SCHEMA", "stream": "users", "schema": {"properties": {"id": {"type": "integer"}}}, "key_properties": ["id"]}',
+        '{"type": "RECORD", "stream": "users", "record": {"id": 1, "name": "ann"}}',
+        '{"type": "STATE", "value": {"bookmarks": {"users": {"id": 1}}}}',
+        '{"type": "RECORD", "stream": "users", "record": {"id": 2, "name": "bo"}}',
+        '{"type": "RECORD", "stream": "orders", "record": {"oid": 9}}',
+        '{"type": "RECORD", "stream": "users", "record": "not-an-object"}',
+        '{"type": "STATE", "value": {"bookmarks": {"users": {"id": 2}}}}',
+    ]
+    df = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(lines)], ["lineno", "value"]
+    )
+    msgs = split_singer_messages(df, order_col="lineno")
+
+    schemas = msgs.schemas.collect()
+    assert len(schemas) == 1 and schemas[0]["key_properties"] == ["id"]
+
+    rec_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    users = singer_records(msgs, "users", rec_schema).collect()
+    good = {r["id"]: r["name"] for r in users if r["_corrupt"] is None}
+    assert good == {1: "ann", 2: "bo"}
+    bad = [r for r in users if r["_corrupt"] is not None]
+    assert len(bad) == 1  # the non-object record dead-letters, not drops
+
+    assert msgs.records.filter(F.col("stream") == "orders").count() == 1
+    assert '"id":2' in latest_state(msgs, "lineno").replace(" ", "")
+
+
+def test_stream_auto_compaction_bounds_files(spark, tmpdir_path):
+    """compact_every_n_batches folds MoR deltas mid-stream; final state
+    stays oracle-exact and per-bucket file counts stay bounded."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jitsu_spark.changelog import (
+        CHANGELOG_SCHEMA,
+        assert_matches_oracle,
+        changelog_df,
+        dict_replay,
+    )
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.streaming import CdcStreamJob
+    from tests.test_merge import TARGET_SCHEMA
+
+    log = changelog_df(spark, n_events=4000, n_docs=300, seed=13)
+    expected = dict_replay([r.asDict(recursive=True) for r in log.collect()])
+    src = os.path.join(tmpdir_path, "log")
+    for i in range(8):  # 8 file drops -> 8 micro-batches
+        log.filter(
+            (F.col("seq") >= i * 500) & (F.col("seq") < (i + 1) * 500)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), TARGET_SCHEMA, "doc_id",
+        n_buckets=4, properties={"write.mode": "mor"},
+    )
+    job = CdcStreamJob(
+        table=table,
+        source_dir=src,
+        checkpoint_dir=os.path.join(tmpdir_path, "ckpt"),
+        source_schema=CHANGELOG_SCHEMA,
+        max_files_per_trigger=1,
+        job_id="autocompact",
+        compact_every_n_batches=3,
+        compact_max_files_per_bucket=2,
+    )
+    job.run_available_now(spark)
+    assert_matches_oracle(table.read(), expected)
+    snap = table.snapshot()
+    # without compaction each bucket would hold ~8 delta files
+    assert max(len(es) for es in snap.files.values()) <= 4
+    assert any(e.get("kind") == "compact" for e in snap.lineage)
