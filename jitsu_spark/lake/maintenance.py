@@ -37,23 +37,54 @@ class OverwriteResult:
     n_inserted: int = 0
 
 
+def _scan_entries(table: LakeTable, entries: list[dict], snap, target) -> DataFrame:
+    """Aligned scan of an explicit file-entry list (grouped by physical
+    schema id, no footer merging)."""
+    import json as J
+
+    from pyspark.sql import types as T
+
+    groups: dict[str, list[str]] = {}
+    for e in entries:
+        groups.setdefault(e["schema_id"], []).append(
+            os.path.join(table.root, e["path"])
+        )
+    if not groups:
+        return table.spark.createDataFrame([], target)
+    parts = []
+    for sid, paths in groups.items():
+        phys = T.StructType.fromJson(J.loads(snap.schemas[sid]))
+        df = table.spark.read.schema(phys).parquet(*paths)
+        parts.append(df.select(*alignment_columns(df, target)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def overwrite_where(
     table: LakeTable,
     replacement: DataFrame,
     predicate: Column,
     chunk_id: str | None = None,
     job_id: str = "sync",
+    prune: tuple[str, str, str] | None = None,
 ) -> OverwriteResult:
     """Atomically replace all rows matching ``predicate`` with
     ``replacement`` (which must itself satisfy the predicate's intent —
     not enforced). Idempotent per (job_id, chunk_id).
 
-    Physical plan: the whole table's buckets are candidates (a predicate
-    may touch any bucket), but rows are rewritten bucket-local: scan →
-    filter(~predicate) → union(replacement) → one repartition by bucket →
-    write. At scale, pass a replacement/predicate pair scoped to a time
-    chunk so the survivors scan prunes via min/max stats on the predicate
-    column.
+    **File-level pruning** (the 100 TB path): the layout is hash-bucketed
+    by key, so a time-chunk predicate touches every bucket — but NOT
+    every file. With ``prune=(col, lo, hi)`` (bounds implied by the
+    predicate: no row outside [lo, hi) can match) and a table that
+    records ``write.stats.column`` per-file min/max, files whose stat
+    range cannot intersect the chunk are KEPT in place — never read,
+    never rewritten. Only intersecting files (and files without stats,
+    conservatively) are scanned, filtered, and rewritten. A steady-state
+    interval re-sync then costs O(chunk), not O(table). Falls back to
+    the full rewrite when the table carries MoR delta files (compact
+    first).
     """
     import json as J
 
@@ -71,10 +102,28 @@ def overwrite_where(
         max_columns=max_columns_of(snap.properties),
     )
     target = plan.target
-    existing = table.read(snap=snap)
-    survivors = existing.select(*alignment_columns(existing, target)).filter(
-        ~predicate
+
+    has_delta = any(
+        e.get("kind", "base") == "delta"
+        for es in snap.files.values()
+        for e in es
     )
+    kept: dict[str, list[dict]] = {}
+    if prune is not None and not has_delta:
+        col, lo, hi = prune
+        overlap: list[dict] = []
+        for b, entries in snap.files.items():
+            for e in entries:
+                st = (e.get("stats") or {}).get(col)
+                if st is not None and (st[1] < lo or st[0] >= hi):
+                    kept.setdefault(b, []).append(e)
+                else:
+                    overlap.append(e)
+        existing = _scan_entries(table, overlap, snap, target)
+    else:
+        existing = table.read(snap=snap)
+        existing = existing.select(*alignment_columns(existing, target))
+    survivors = existing.filter(~predicate)
     fresh = replacement.select(*alignment_columns(replacement, target))
     n_inserted = fresh.count()
     result = (
@@ -88,10 +137,10 @@ def overwrite_where(
     if plan.changed:
         sid = str(max(int(s) for s in schemas) + 1)
         schemas[sid] = target.json()
-    files = {
-        b: [{"path": p, "schema_id": sid} for p in paths]
-        for b, paths in new_files.items()
-    }
+    new_entries = table.build_entries(new_files, sid, snap)
+    files: dict[str, list[dict]] = {}
+    for b in set(kept) | set(new_entries):
+        files[b] = kept.get(b, []) + new_entries.get(b, [])
     committed = list(snap.committed)
     if chunk_id is not None:
         committed.append(commit_key)

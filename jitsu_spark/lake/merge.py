@@ -240,18 +240,17 @@ def _merge_once(
     if mode == "mor":
         # append delta entries stamped with this commit's sequence
         new_version = snap.version + 1
-        for b, paths in new_files.items():
-            files[b] = list(files.get(b, [])) + [
-                {"path": p, "schema_id": sid, "kind": "delta", "mseq": new_version}
-                for p in paths
-            ]
+        delta_entries = table.build_entries(
+            new_files, sid, snap, kind="delta", mseq=new_version
+        )
+        for b, entries in delta_entries.items():
+            files[b] = list(files.get(b, [])) + entries
     else:
+        cow_entries = table.build_entries(new_files, sid, snap)
         for b in affected:
             bs = str(b)
-            if bs in new_files:
-                files[bs] = [
-                    {"path": p, "schema_id": sid} for p in new_files[bs]
-                ]
+            if bs in cow_entries:
+                files[bs] = cow_entries[bs]
             else:
                 files.pop(bs, None)  # bucket fully deleted
     committed = list(snap.committed)
@@ -330,10 +329,8 @@ def append_batch(
         sid = str(max(int(s) for s in schemas) + 1)
         schemas[sid] = target.json()
     files = {b: list(es) for b, es in snap.files.items()}
-    for b, paths in new_files.items():
-        files.setdefault(b, []).extend(
-            {"path": p, "schema_id": sid} for p in paths
-        )
+    for b, entries in table.build_entries(new_files, sid, snap).items():
+        files.setdefault(b, []).extend(entries)
     committed = list(snap.committed)
     if batch_id is not None:
         committed.append(_commit_key(job_id, batch_id))

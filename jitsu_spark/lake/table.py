@@ -256,6 +256,81 @@ class LakeTable:
     def _commit(self, snap: Snapshot) -> None:
         md.commit_snapshot(self.root, snap)
 
+    # -- per-file column stats (Iceberg-manifest-style pruning metadata) ----
+
+    STATS_COL_PROP = "write.stats.column"
+
+    def stats_column(self, snap: Snapshot | None = None) -> str | None:
+        """Column whose per-file min/max is recorded at write time (table
+        property ``write.stats.column``) — enables file-level pruning for
+        predicate-scoped rewrites (overwrite_where) even though the
+        layout is hash-bucketed by key, not by that column."""
+        snap = snap or self.snapshot()
+        return snap.properties.get(self.STATS_COL_PROP)
+
+    def build_entries(
+        self,
+        new_files: dict[str, list[str]],
+        schema_id: str,
+        snap: Snapshot | None = None,
+        **extra,
+    ) -> dict[str, list[dict]]:
+        """File entries for a commit, with per-file stats attached when
+        the table declares a stats column."""
+        scol = self.stats_column(snap)
+        stats = self.file_stats(new_files, scol) if scol else {}
+        return {
+            b: [
+                {
+                    "path": p,
+                    "schema_id": schema_id,
+                    **extra,
+                    **({"stats": {scol: stats[p]}} if p in stats else {}),
+                }
+                for p in paths
+            ]
+            for b, paths in new_files.items()
+        }
+
+    def file_stats(
+        self, files: dict[str, list[str]], col: str
+    ) -> dict[str, list]:
+        """[min, max] of ``col`` per written file, read from the parquet
+        FOOTERS driver-side (no Spark job; bounded by files-per-commit).
+        Timestamps normalize to naive-UTC ``str(datetime)`` so stored
+        stats compare lexicographically with predicate bounds."""
+        import datetime as dt
+
+        import pyarrow.parquet as pq
+
+        def norm(v):
+            if isinstance(v, dt.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+                return str(v)
+            return v
+
+        out: dict[str, list] = {}
+        for paths in files.values():
+            for rel in paths:
+                meta = pq.read_metadata(os.path.join(self.root, rel))
+                names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+                if col not in names:
+                    continue
+                ci = names.index(col)
+                lo = hi = None
+                ok = True
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if ok and lo is not None:
+                    out[rel] = [norm(lo), norm(hi)]
+        return out
+
     # -- maintenance --------------------------------------------------------
 
     def compact(self, max_files_per_bucket: int = 8) -> CommitResult:
@@ -275,10 +350,12 @@ class LakeTable:
         df = df.repartition(len(frag), F.col(BUCKET_COL))
         new_files = self._write_files(df)
         files = dict(snap.files)
+        compact_entries = self.build_entries(
+            new_files, snap.current_schema_id, snap
+        )
         for b in frag:
-            if b in new_files:
-                files[b] = [{"path": p, "schema_id": snap.current_schema_id}
-                            for p in new_files[b]]
+            if b in compact_entries:
+                files[b] = compact_entries[b]
             else:
                 files.pop(b, None)
         new_snap = Snapshot(

@@ -116,6 +116,10 @@ class IntervalSyncJob:
             overwrite_where(
                 self.table, df, pred,
                 chunk_id=f"{itv.id}:{sig}", job_id=self.job_id,
+                # files whose ts stats can't intersect [lower, upper) are
+                # kept in place (needs table property write.stats.column;
+                # harmlessly rewrites everything without it)
+                prune=(self.ts_col, itv.lower, itv.upper),
             )
             state[itv.id] = sig
             self._save_state(state)

@@ -99,3 +99,70 @@ def test_crashed_commit_hint_rolls_forward(spark, tmpdir_path):
     with open(os.path.join(t.root, "metadata", f"v{v + 3}.json"), "w") as f:
         f.write('{"version": ')
     assert md.current_version(t.root) == v + 2
+
+
+def test_overwrite_where_file_level_pruning(spark, tmpdir_path):
+    """With write.stats.column, a time-chunk overwrite keeps files whose
+    per-file ts range cannot intersect the chunk — identical entries, no
+    rewrite — and only replaces intersecting files. O(chunk), not
+    O(table), on the hash-bucketed layout."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake.merge import append_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("rid", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), schema, "rid",
+        n_buckets=4, properties={"write.stats.column": "ts"},
+    )
+
+    def month_df(month, val):
+        rows = [(f"{month}-r{i}", f"{month}-10 00:00:0{i}", val) for i in range(4)]
+        return spark.createDataFrame(rows, ["rid", "ts_s", "v"]).select(
+            "rid", F.col("ts_s").cast("timestamp").alias("ts"), "v"
+        )
+
+    for m, month in enumerate(["2024-01", "2024-02", "2024-03"]):
+        append_batch(t, month_df(month, 1.0 + m), batch_id=m)
+
+    before = t.snapshot()
+    assert all(
+        "stats" in e for es in before.files.values() for e in es
+    ), "per-file ts stats must be recorded"
+    feb_lo, feb_hi = "2024-02-01 00:00:00", "2024-03-01 00:00:00"
+
+    def split_paths(snap):
+        keep, touch = set(), set()
+        for es in snap.files.values():
+            for e in es:
+                lo, hi = e["stats"]["ts"]
+                (keep if hi < feb_lo or lo >= feb_hi else touch).add(e["path"])
+        return keep, touch
+
+    keep_before, touch_before = split_paths(before)
+    assert keep_before and touch_before
+
+    pred = (F.col("ts") >= F.lit(feb_lo).cast("timestamp")) & (
+        F.col("ts") < F.lit(feb_hi).cast("timestamp")
+    )
+    overwrite_where(
+        t, month_df("2024-02", 99.0), pred, chunk_id="feb-v2",
+        prune=("ts", feb_lo, feb_hi),
+    )
+    after = t.snapshot()
+    paths_after = {e["path"] for es in after.files.values() for e in es}
+    # non-intersecting files survive AS-IS; intersecting ones are gone
+    assert keep_before <= paths_after
+    assert not (touch_before & paths_after)
+    rows = {r["rid"]: r["v"] for r in t.read().collect()}
+    assert len(rows) == 12
+    assert all(v == 99.0 for k, v in rows.items() if k.startswith("2024-02"))
+    assert all(v == 1.0 for k, v in rows.items() if k.startswith("2024-01"))
+    assert all(v == 3.0 for k, v in rows.items() if k.startswith("2024-03"))
