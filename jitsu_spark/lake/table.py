@@ -128,6 +128,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         version: int | None = None,
         snap: Snapshot | None = None,
+        prune: tuple[str, str, str] | None = None,
     ) -> DataFrame:
         """Snapshot-consistent merged scan, pruned to ``buckets`` if given.
 
@@ -143,12 +144,28 @@ class LakeTable:
         buckets — including every bucket of a CoW table — union in as plain
         pruned scans with no aggregate and no shuffle. At 100 TB with one
         hot delta'd bucket this shuffles that one bucket, not the table.
+
+        ``prune=(col, lo, hi)``: additionally skip CLEAN-bucket files
+        whose per-file stats (write.stats.column tables) cannot contain a
+        row with ``col`` in [lo, hi). The result is a SUPERSET of the
+        matching rows — the caller still applies its own filter; pruning
+        only avoids opening files that cannot matter. Dirty buckets are
+        never file-pruned: the LWW reconcile must see every delta of a
+        key regardless of the pruned column's range.
         """
         snap = snap or self.snapshot(version)
         logical = T.StructType.fromJson(__import__("json").loads(snap.schema_json))
         wanted = (
             set(str(b) for b in buckets) if buckets is not None else set(snap.files)
         )
+
+        def excluded(e: dict) -> bool:
+            if prune is None:
+                return False
+            col, lo, hi = prune
+            st = (e.get("stats") or {}).get(col)
+            return st is not None and (st[1] < lo or st[0] >= hi)
+
         # split selected buckets: clean (base-only) vs dirty (>=1 delta file)
         clean_groups: dict[str, list[str]] = {}  # schema_id -> paths
         dirty_groups: dict[tuple[str, int], list[str]] = {}  # (sid, mseq) -> paths
@@ -162,6 +179,8 @@ class LakeTable:
                     ).append(os.path.join(self.root, e["path"]))
             else:
                 for e in entries:
+                    if excluded(e):
+                        continue
                     clean_groups.setdefault(e["schema_id"], []).append(
                         os.path.join(self.root, e["path"])
                     )
@@ -224,6 +243,80 @@ class LakeTable:
             .drop("_mor_op")
             .select(*[f.name for f in logical.fields])
         )
+
+    def changes(
+        self, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental (CDC-out) read: the change rows committed in
+        versions (since_version, to_version] — the engine's analog of an
+        Iceberg changelog scan, feeding downstream incremental pipelines
+        without a full-table diff.
+
+        Exact for merge-on-read tables: each MoR merge lands one
+        LWW'd-per-batch delta file per bucket, stamped with its commit
+        sequence, so the changelog IS those files. Returns the payload
+        columns plus ``_change_op`` ('i'/'u'/'d') and ``_commit_version``.
+
+        Raises if the range contains a commit whose row-level changes are
+        not reconstructible from files (CoW merge rewrites, compaction
+        folds, overwrites) — consume changes before compacting, exactly
+        the Iceberg changelog-scan caveat."""
+        snap = self.snapshot(to_version)
+        hi = snap.version if to_version is None else to_version
+        logical = T.StructType.fromJson(__import__("json").loads(snap.schema_json))
+        if self.write_mode(snap) != "mor":
+            raise ValueError(
+                "changes() needs write.mode=mor (CoW merges rewrite whole "
+                "buckets; row-level changes are not reconstructible)"
+            )
+        # lineage entry i records commit (i+1); verify every in-range
+        # commit is a MoR delta merge
+        for v in range(since_version + 1, hi + 1):
+            entry = snap.lineage[v - 1] if v - 1 < len(snap.lineage) else {}
+            if entry.get("kind") != "merge":
+                raise ValueError(
+                    f"changes({since_version}, {hi}): commit {v} is "
+                    f"{entry.get('kind')!r}, not a delta merge — row-level "
+                    "changes are not reconstructible (consume changes "
+                    "before compact/overwrite, or use MoR write mode)"
+                )
+        groups: dict[tuple[str, int], list[str]] = {}
+        for entries in snap.files.values():
+            for e in entries:
+                mseq = int(e.get("mseq", 0))
+                if e.get("kind", "base") == "delta" and since_version < mseq <= hi:
+                    groups.setdefault((e["schema_id"], mseq), []).append(
+                        os.path.join(self.root, e["path"])
+                    )
+        if not groups:
+            out_schema = T.StructType(
+                list(logical.fields)
+                + [
+                    T.StructField("_change_op", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                ]
+            )
+            return self.spark.createDataFrame([], out_schema)
+        from jitsu_spark.typesys.align import alignment_columns
+
+        parts = []
+        for (sid, mseq), paths in groups.items():
+            phys = T.StructType.fromJson(__import__("json").loads(snap.schemas[sid]))
+            phys = T.StructType(
+                list(phys.fields) + [T.StructField(MOR_OP_COL, T.StringType())]
+            )
+            df = self.spark.read.schema(phys).parquet(*paths)
+            parts.append(
+                df.select(
+                    *alignment_columns(df, logical),
+                    F.col(MOR_OP_COL).alias("_change_op"),
+                    F.lit(mseq).cast("long").alias("_commit_version"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- write path (internal; public entry points are in merge.py) ---------
 

@@ -90,3 +90,69 @@ def test_mor_time_travel(spark, tmpdir_path):
     merge_batch(t, batch(spark, [ev(2, "u", "a", [2])]), batch_id=1)
     assert t.read(version=v1).collect()[0]["tokens"] == [1]
     assert t.read().collect()[0]["tokens"] == [2]
+
+
+def test_incremental_changes_read(spark, tmpdir_path):
+    """changes(since, to) returns exactly the delta rows of the in-range
+    commits (CDC-out); compaction inside the range raises."""
+    import pytest
+
+    t = make_mor(spark, tmpdir_path, n_buckets=4)
+    merge_batch(t, batch(spark, [ev(1, "i", "a", [1]), ev(2, "i", "b", [2])]), batch_id=0)
+    v1 = t.snapshot().version
+    merge_batch(t, batch(spark, [ev(3, "u", "a", [9]), ev(4, "d", "b")]), batch_id=1)
+    merge_batch(t, batch(spark, [ev(5, "i", "c", [5])]), batch_id=2)
+    v3 = t.snapshot().version
+
+    ch = t.changes(since_version=v1).collect()
+    got = {(r["doc_id"], r["_change_op"], r["_commit_version"]) for r in ch}
+    assert got == {("a", "u", v1 + 1), ("b", "d", v1 + 1), ("c", "i", v3)}
+    assert {f.name for f in t.changes(v1).schema.fields} >= {
+        "doc_id", "tokens", "_change_op", "_commit_version"
+    }
+    # full-history changes from version 0
+    assert len(t.changes(since_version=0).collect()) == 5
+
+    # a compaction inside the range makes row-level changes unavailable
+    t.compact(max_files_per_bucket=0)
+    with pytest.raises(ValueError, match="compact"):
+        t.changes(since_version=v1)
+    # ...but a fresh range after the compaction works again
+    vc = t.snapshot().version
+    merge_batch(t, batch(spark, [ev(6, "u", "c", [6])]), batch_id=3)
+    got2 = {(r["doc_id"], r["_change_op"]) for r in t.changes(since_version=vc).collect()}
+    assert got2 == {("c", "u")}
+
+
+def test_read_with_stats_prune_skips_clean_files(spark, tmpdir_path):
+    """read(prune=...) must skip clean-bucket files excluded by stats and
+    never file-prune delta-bearing buckets (reconcile sees everything)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import append_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("rid", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "pt"), schema, "rid",
+        n_buckets=2, properties={"write.stats.column": "ts"},
+    )
+    for m, month in enumerate(["2024-01", "2024-02"]):
+        df = spark.createDataFrame(
+            [(f"{month}-r{i}", f"{month}-10 00:00:0{i}", 1.0) for i in range(3)],
+            ["rid", "ts_s", "v"],
+        ).select("rid", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+        append_batch(t, df, batch_id=m)
+    pruned = t.read(prune=("ts", "2024-02-01 00:00:00", "2024-03-01 00:00:00"))
+    # superset semantics: only February files were opened
+    assert {r["rid"][:7] for r in pruned.collect()} == {"2024-02"}
+    assert t.read().count() == 6  # unpruned read unchanged
