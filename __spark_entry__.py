@@ -287,6 +287,34 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sequence packing: md5-derived tokens from documents packed
+    into 128-token training sequences; per-pack position-weighted
+    checksum proves exact content AND order of every pack."""
+    from jitsu_spark.text.packing import pack_tokens
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int"),
+        ).alias("tokens"),
+    )
+    packed = pack_tokens(d, max_len=128)
+    weighted = F.zip_with(
+        F.col("tokens"),
+        F.sequence(F.lit(1), F.size("tokens")),
+        lambda t, i: t.cast("long") * i.cast("long"),
+    )
+    return packed.select(
+        "pack_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "checksum"
+        ),
+    )
+
+
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jitsu_spark.dedup import minhash_signature
 
@@ -614,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "pack_sequences": q_pack_sequences,
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
@@ -865,6 +894,30 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(string_split(text, ' '),
                                            w -> md5(w))) AS fp
             FROM documents
+        """,
+        "pack_sequences": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                           w -> ('0x'||substr(md5(w),1,4))::INT) AS tk
+                FROM documents
+            ),
+            flat AS (
+                SELECT doc_id,
+                       unnest(tk) AS tok,
+                       generate_subscripts(tk, 1) AS i
+                FROM toks
+            ),
+            pos AS (
+                SELECT tok,
+                       row_number() OVER (ORDER BY doc_id, i) - 1 AS g
+                FROM flat
+            )
+            SELECT g // 128 AS pack_id,
+                   count(*) AS n_tok,
+                   CAST(sum(CAST(tok AS BIGINT) * ((g % 128) + 1)) AS BIGINT)
+                       AS checksum
+            FROM pos GROUP BY 1
         """,
         "minhash_signature": """
             SELECT doc_id,

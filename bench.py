@@ -120,6 +120,7 @@ def main() -> None:
         "exact_dedup_documents": entry.q_exact_dedup_documents,
         "text_quality": entry.q_text_quality,
         "token_counts": entry.q_token_counts,
+        "pack_sequences": entry.q_pack_sequences,
         "minhash_lsh_candidates": entry.q_lsh_candidates,
         "simhash": entry.q_simhash,
         "embedding_topk": entry.q_embedding_topk,

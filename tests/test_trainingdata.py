@@ -221,3 +221,44 @@ def test_ivf_topk_full_probe_equals_exact(spark, embeddings):
     }
     recall = len(probed & exact) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_pack_tokens_matches_reference_packing(spark):
+    """Packing must equal the doc_id-ordered concatenate-then-chunk
+    reference for every pack, across partition and document boundaries."""
+    from jitsu_spark.text.packing import pack_tokens
+
+    docs = [(f"d{i:03d}", list(range(i * 100, i * 100 + (i % 7) + 1))) for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "tokens"]).repartition(5)
+    max_len = 10
+    out = {
+        r["pack_id"]: r["tokens"]
+        for r in pack_tokens(df, max_len=max_len, n_partitions=4).collect()
+    }
+    stream = []
+    for _, toks in sorted(docs):
+        stream.extend(toks)
+    expected = {
+        g: stream[g * max_len : (g + 1) * max_len]
+        for g in range(0, (len(stream) + max_len - 1) // max_len)
+    }
+    assert out == expected
+    assert all(len(t) == max_len for pid, t in out.items() if pid != max(out))
+
+
+def test_pack_tokens_handles_empty_and_null(spark):
+    from pyspark.sql import types as T
+
+    from jitsu_spark.text.packing import pack_tokens
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", []), ("c", None), ("d", [4, 5])], schema
+    )
+    out = {r["pack_id"]: r["tokens"] for r in pack_tokens(df, max_len=4).collect()}
+    assert out == {0: [1, 2, 3, 4], 1: [5]}
