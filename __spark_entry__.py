@@ -586,6 +586,18 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(d, "doc_id", "text", k=8, bands=4, shingle_n=3)
 
 
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify ->
+    connected components (iterative min-label propagation) -> keeper per
+    group. The oracle recomputes the components with a recursive CTE."""
+    from jitsu_spark.dedup import near_dup_components
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return near_dup_components(
+        d, "doc_id", "text", min_jaccard=0.5, k=8, bands=4, shingle_n=3
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path (rows-only; recall vs exact is pytest-verified)."""
     from jitsu_spark.similarity import cosine_topk_lsh
@@ -652,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "lsh_candidates": q_lsh_candidates,
+        "near_dup_components": q_near_dup_components,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
     }
@@ -1094,6 +1107,65 @@ def oracle_sql() -> dict[str, str]:
             FROM bands l JOIN bands r
               ON l.band_no = r.band_no AND l.bh = r.bh
              AND l.doc_id < r.doc_id
+        """.format(
+            mins=", ".join(
+                f"list_min(list_transform(s, w -> md5('{i}#'||w))) AS m{i}"
+                for i in range(8)
+            )
+        ),
+        "near_dup_components": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) >= 3
+                            THEN list_distinct(list_transform(
+                                     range(1, len(tk)-1),
+                                     i -> array_to_string(tk[i:i+2], ' ')))
+                            ELSE [array_to_string(tk, ' ')] END AS s
+                FROM toks
+            ),
+            mh AS (
+                SELECT doc_id,
+                       {mins}
+                FROM sh
+            ),
+            bands AS (
+                SELECT doc_id, 0 AS band_no, md5(m0||'|'||m1) AS bh FROM mh
+                UNION ALL SELECT doc_id, 1, md5(m2||'|'||m3) FROM mh
+                UNION ALL SELECT doc_id, 2, md5(m4||'|'||m5) FROM mh
+                UNION ALL SELECT doc_id, 3, md5(m6||'|'||m7) FROM mh
+            ),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM bands l JOIN bands r
+                  ON l.band_no = r.band_no AND l.bh = r.bh
+                 AND l.doc_id < r.doc_id
+            ),
+            ver AS (
+                SELECT c.id_a, c.id_b
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.id_a
+                JOIN sh b ON b.doc_id = c.id_b
+                WHERE round(
+                    len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+                    / (len(a.s) + len(b.s)
+                       - len(list_filter(a.s, x -> list_contains(b.s, x)))),
+                    6) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM ver
+                UNION SELECT id_b, id_a FROM ver
+            ),
+            reach AS (
+                SELECT u AS id, u AS r FROM edges
+                UNION
+                SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+            )
+            SELECT id AS doc_id, min(r) AS component,
+                   id = min(r) AS is_keeper
+            FROM reach GROUP BY id
         """.format(
             mins=", ".join(
                 f"list_min(list_transform(s, w -> md5('{i}#'||w))) AS m{i}"

@@ -1,3 +1,4 @@
+from jitsu_spark.dedup.clusters import connected_components, near_dup_components
 from jitsu_spark.dedup.exact import exact_dedup
 from jitsu_spark.dedup.minhash import (
     lsh_candidate_pairs,
@@ -12,4 +13,6 @@ __all__ = [
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "connected_components",
+    "near_dup_components",
 ]

@@ -262,3 +262,33 @@ def test_pack_tokens_handles_empty_and_null(spark):
     )
     out = {r["pack_id"]: r["tokens"] for r in pack_tokens(df, max_len=4).collect()}
     assert out == {0: [1, 2, 3, 4], 1: [5]}
+
+
+def test_connected_components_transitive_groups(spark):
+    """A~B and B~C collapse into one component even without an A~C pair;
+    disjoint pairs stay separate; a chain converges within max_iter."""
+    from jitsu_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (12, 13), (13, 14)],
+        ["id_a", "id_b"],
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[7] == comp[8] == 7
+    assert comp[10] == comp[11] == comp[12] == comp[13] == comp[14] == 10
+    assert len(set(comp.values())) == 3
+
+
+def test_near_dup_components_end_to_end(spark, docs):
+    """The full pipeline groups the exact+near duplicates (docs 1,2,3)
+    and marks the min id as keeper."""
+    from jitsu_spark.dedup import near_dup_components
+
+    out = {r["doc_id"]: r for r in near_dup_components(
+        docs, "doc_id", "text", min_jaccard=0.3
+    ).collect()}
+    assert set(out) >= {1, 2, 3}
+    assert out[1]["component"] == out[2]["component"] == out[3]["component"] == 1
+    assert out[1]["is_keeper"] and not out[2]["is_keeper"]
+    assert 4 not in out and 5 not in out  # unrelated docs form no group
