@@ -287,6 +287,18 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
 
 
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus selection: quality gate + language gate
+    + exact-dedup keeper + near-dup keeper, with auditable per-gate
+    flags. Composes four independently-oracled primitives."""
+    from jitsu_spark.text.corpus import select_training_corpus
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return select_training_corpus(
+        d, min_words=16, languages=("en",), min_jaccard=0.5
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-sequence packing: md5-derived tokens from documents packed
     into 128-token training sequences; per-pack position-weighted
@@ -655,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "pack_sequences": q_pack_sequences,
+        "corpus_select": q_corpus_select,
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
@@ -908,6 +921,90 @@ def oracle_sql() -> dict[str, str]:
                                            w -> md5(w))) AS fp
             FROM documents
         """,
+        "corpus_select": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) >= 3
+                            THEN list_distinct(list_transform(
+                                     range(1, len(tk)-1),
+                                     i -> array_to_string(tk[i:i+2], ' ')))
+                            ELSE [array_to_string(tk, ' ')] END AS s
+                FROM toks
+            ),
+            mh AS (
+                SELECT doc_id,
+                       {mins}
+                FROM sh
+            ),
+            bands AS (
+                SELECT doc_id, 0 AS band_no, md5(m0||'|'||m1) AS bh FROM mh
+                UNION ALL SELECT doc_id, 1, md5(m2||'|'||m3) FROM mh
+                UNION ALL SELECT doc_id, 2, md5(m4||'|'||m5) FROM mh
+                UNION ALL SELECT doc_id, 3, md5(m6||'|'||m7) FROM mh
+            ),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM bands l JOIN bands r
+                  ON l.band_no = r.band_no AND l.bh = r.bh
+                 AND l.doc_id < r.doc_id
+            ),
+            ver AS (
+                SELECT c.id_a, c.id_b
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.id_a
+                JOIN sh b ON b.doc_id = c.id_b
+                WHERE round(
+                    len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+                    / (len(a.s) + len(b.s)
+                       - len(list_filter(a.s, x -> list_contains(b.s, x)))),
+                    6) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM ver
+                UNION SELECT id_b, id_a FROM ver
+            ),
+            reach AS (
+                SELECT u AS id, u AS r FROM edges
+                UNION
+                SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+            ),
+            comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+            lid AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_words,
+                       CASE
+                         WHEN contains(' ' || lower(text) || ' ', ' the ')
+                              THEN 'en'
+                         WHEN contains(' ' || lower(text) || ' ', ' der ')
+                              THEN 'de'
+                         WHEN contains(' ' || lower(text) || ' ', ' le ')
+                              THEN 'fr'
+                         WHEN contains(' ' || lower(text) || ' ', ' el ')
+                              THEN 'es'
+                         ELSE 'und'
+                       END AS lang,
+                       md5(COALESCE(CAST(text AS VARCHAR), '')) AS h
+                FROM documents
+            ),
+            ek AS (SELECT h, min(doc_id) AS keep FROM lid GROUP BY h)
+            SELECT l.doc_id, l.n_words, l.lang,
+                   l.doc_id = ek.keep AS is_exact_keeper,
+                   COALESCE(c.id = c.component, TRUE) AS is_near_keeper,
+                   (l.n_words >= 16 AND l.lang IN ('en')
+                    AND l.doc_id = ek.keep
+                    AND COALESCE(c.id = c.component, TRUE)) AS selected
+            FROM lid l
+            JOIN ek ON l.h = ek.h
+            LEFT JOIN comp c ON c.id = l.doc_id
+        """.format(
+            mins=", ".join(
+                f"list_min(list_transform(s, w -> md5('{i}#'||w))) AS m{i}"
+                for i in range(8)
+            )
+        ),
         "pack_sequences": """
             WITH toks AS (
                 SELECT doc_id,

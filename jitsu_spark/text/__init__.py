@@ -13,3 +13,6 @@ __all__ = [
     "bpe_ish_token_count",
     "fingerprint_expr",
 ]
+from jitsu_spark.text.corpus import select_training_corpus  # noqa: E402
+from jitsu_spark.text.packing import pack_tokens  # noqa: E402
+__all__ += ["select_training_corpus", "pack_tokens"]

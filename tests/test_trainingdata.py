@@ -292,3 +292,30 @@ def test_near_dup_components_end_to_end(spark, docs):
     assert out[1]["component"] == out[2]["component"] == out[3]["component"] == 1
     assert out[1]["is_keeper"] and not out[2]["is_keeper"]
     assert 4 not in out and 5 not in out  # unrelated docs form no group
+
+
+def test_select_training_corpus_gates(spark):
+    """Each gate (quality, language, exact dup, near dup) must
+    independently knock a doc out; survivors are selected."""
+    from jitsu_spark.text import select_training_corpus
+
+    long_en = ("the quick brown fox jumps over the lazy dog and then " * 3).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, long_en),                      # keeper
+            (2, long_en),                      # exact dup of 1 -> dropped
+            (3, "the short one"),              # too short -> dropped
+            (4, ("der schnelle braune fuchs springt ueber den faulen hund " * 3).strip()),  # not en
+            (5, long_en.replace("lazy", "idle")),  # near dup of 1 -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in select_training_corpus(
+        docs, min_words=16, languages=("en",), min_jaccard=0.5
+    ).collect()}
+    assert out[1]["selected"]
+    assert not out[2]["selected"] and not out[2]["is_exact_keeper"]
+    assert not out[3]["selected"] and out[3]["n_words"] < 16
+    assert not out[4]["selected"] and out[4]["lang"] == "de"
+    assert not out[5]["selected"] and not out[5]["is_near_keeper"]
+    assert out[5]["is_exact_keeper"]  # dropped only by the near-dup gate
