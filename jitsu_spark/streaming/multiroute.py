@@ -1,0 +1,87 @@
+"""Multi-destination routed merge: one micro-batch fans out into N lake
+tables by the ``_table`` routing column — the reference's core storing
+behavior (every batch splits per destination table and each table is
+written independently; semantics per the per-(file, storage, table)
+status tracking in /root/reference/server/logfiles/status_manager.go and
+the multiplex loop in server/destinations — re-derived).
+
+Exactly-once composes per table: each destination's own commit manifest
+records (job_id:table, batch_id), so a redelivered batch skips exactly
+the tables that already committed and applies the rest — a crash between
+two destination merges heals on replay with no duplicates and no loss
+(tested).
+
+Scale notes: the distinct-table pass collects ONLY the table names
+(bounded by the destination count — time-partitioned routing yields a
+handful); each per-table merge then prunes its own slice with a pushed
+``_table = name`` filter over the cached batch. Tables are created
+lazily on first routed row with the batch's payload schema and evolve
+independently afterwards.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jitsu_spark.lake.merge import MergeResult, merge_batch
+from jitsu_spark.lake.table import LakeTable
+
+_SAFE_NAME = re.compile(r"^[a-z0-9_]+$")
+
+
+@dataclass
+class RoutedMergeResult:
+    per_table: dict[str, MergeResult] = field(default_factory=dict)
+
+
+def merge_routed(
+    spark: SparkSession,
+    root: str,
+    batch_df: DataFrame,
+    key_field: str,
+    batch_id=None,
+    job_id: str = "routed",
+    table_col: str = "_table",
+    n_buckets: int = 16,
+    properties: dict | None = None,
+) -> RoutedMergeResult:
+    """Merge one routed batch into per-table LakeTables under ``root``.
+
+    ``batch_df`` carries the CDC envelope plus ``table_col`` (from
+    ``route_to_tables``); rows are sliced per table name and merged into
+    ``<root>/<name>`` with that table's own exactly-once manifest."""
+    batch_df = batch_df.persist()
+    try:
+        names = sorted(
+            r[0]
+            for r in batch_df.select(table_col).distinct().collect()
+            if r[0]
+        )
+        out = RoutedMergeResult()
+        for name in names:
+            if not _SAFE_NAME.match(name):
+                raise ValueError(f"unsafe routed table name {name!r}")
+            sub = batch_df.filter(F.col(table_col) == name).drop(table_col)
+            path = os.path.join(root, name)
+            if LakeTable.exists(path):
+                table = LakeTable.load(spark, path)
+            else:
+                payload = T.StructType(
+                    [f for f in sub.schema.fields if f.name not in ("seq", "op")]
+                )
+                table = LakeTable.create(
+                    spark, path, payload, key_field,
+                    n_buckets=n_buckets, properties=properties or {},
+                )
+            out.per_table[name] = merge_batch(
+                table, sub, batch_id=batch_id, job_id=f"{job_id}:{name}"
+            )
+        return out
+    finally:
+        batch_df.unpersist()
