@@ -126,17 +126,34 @@ class UserRecognition:
             self.identities, pairs, batch_id=batch_id, job_id=f"{job_id}-ids"
         )
 
-        # 2. direct path + in-batch recognition via the identities dim
-        ids_now = F.broadcast(
-            self.identities.read().withColumnRenamed("user_id", "_resolved")
+        # 2. direct path + in-batch recognition via the identities dim.
+        # The identities table is the BIG side at scale (one row per anon
+        # id ever seen) — never broadcast it. Instead: prune its scan to
+        # the buckets the batch's anon ids hash into (driver-side list,
+        # bounded by n_buckets), broadcast the SMALL anonymous slice into
+        # an inner join, and recover the unmatched slice with a broadcast
+        # anti-join on the matched keys.
+        anon_buckets = [
+            r["b"]
+            for r in anonymous.select(
+                self.identities.bucket_expr(F.col(anon)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        ids_scan = self.identities.read(buckets=anon_buckets).withColumnRenamed(
+            "user_id", "_resolved"
         )
-        enriched = (
-            anonymous.join(ids_now, on=anon, how="left")
+        recognized = (
+            ids_scan.join(F.broadcast(anonymous), on=anon, how="inner")
             .withColumn(user, F.col("_resolved"))
             .drop("_resolved")
+            .select(*anonymous.columns)
         )
-        recognized = enriched.filter(F.col(user).isNotNull())
-        unmatched = enriched.filter(F.col(user).isNull())
+        matched_keys = recognized.select(anon).distinct()
+        unmatched = anonymous.join(
+            F.broadcast(matched_keys), on=anon, how="left_anti"
+        )
 
         to_destination = identified.unionByName(recognized).unionByName(unkeyed)
         n_direct = identified.count()
