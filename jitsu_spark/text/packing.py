@@ -58,6 +58,12 @@ def pack_tokens(
     ordered = df.select(doc_col, tokens_col).repartitionByRange(
         n_parts, F.col(doc_col)
     ).sortWithinPartitions(doc_col)
+    # pin the range partitioning: the counting pass and the packing pass
+    # MUST see identical partition boundaries (repartitionByRange samples
+    # to pick them; a recompute that re-samples would silently misplace
+    # offsets). localCheckpoint materializes the ordered stream once —
+    # the job's working set, paid exactly once.
+    ordered = ordered.localCheckpoint(eager=True)
 
     # pass 1: per-partition token totals -> exact global start offsets
     counts = (
