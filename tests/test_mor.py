@@ -156,3 +156,46 @@ def test_read_with_stats_prune_skips_clean_files(spark, tmpdir_path):
     # superset semantics: only February files were opened
     assert {r["rid"][:7] for r in pruned.collect()} == {"2024-02"}
     assert t.read().count() == 6  # unpruned read unchanged
+
+
+def test_mirror_sync_incremental(spark, tmpdir_path):
+    """A projected mirror maintained ONLY from changes() equals the
+    upstream state after every sync; syncs are incremental (cursor from
+    the destination manifest) and idempotent on redelivery."""
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.mirror import last_synced_version, sync_mirror
+
+    src = make_mor(spark, tmpdir_path, n_buckets=4)
+    dst_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("n_tok", T.IntegerType()),
+        ]
+    )
+    dst = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "mirror"), dst_schema, "doc_id",
+        n_buckets=4,
+    )
+    project = lambda ch: ch.select(  # noqa: E731
+        "doc_id", "n_tok", "_change_op", "_commit_version"
+    )
+
+    merge_batch(src, batch(spark, [ev(1, "i", "a", [1]), ev(2, "i", "b", [2, 2])]), batch_id=0)
+    r1 = sync_mirror(src, dst, transform=project)
+    assert (r1.from_version, r1.to_version) == (0, 1)
+    assert {r["doc_id"]: r["n_tok"] for r in dst.read().collect()} == {"a": 1, "b": 2}
+
+    # more upstream commits; only the delta is consumed
+    merge_batch(src, batch(spark, [ev(3, "u", "a", [9, 9, 9]), ev(4, "d", "b")]), batch_id=1)
+    merge_batch(src, batch(spark, [ev(5, "i", "c", [5])]), batch_id=2)
+    r2 = sync_mirror(src, dst, transform=project)
+    assert (r2.from_version, r2.to_version) == (1, 3)
+    assert {r["doc_id"]: r["n_tok"] for r in dst.read().collect()} == {"a": 3, "c": 1}
+    assert last_synced_version(dst) == 3
+
+    # nothing new -> no-op; redelivered sync of the same range -> no-op
+    assert sync_mirror(src, dst, transform=project).skipped
+    v = dst.snapshot().version
+    assert dst.snapshot().version == v
