@@ -3,6 +3,7 @@ from jitsu_spark.similarity.ann import (
     cosine_topk_lsh,
     embedding_near_dups,
     ivf_topk,
+    kmeans_centroids,
 )
 
-__all__ = ["cosine_topk", "cosine_topk_lsh", "embedding_near_dups", "ivf_topk"]
+__all__ = ["cosine_topk", "cosine_topk_lsh", "embedding_near_dups", "ivf_topk", "kmeans_centroids"]

@@ -319,3 +319,18 @@ def test_select_training_corpus_gates(spark):
     assert not out[4]["selected"] and out[4]["lang"] == "de"
     assert not out[5]["selected"] and not out[5]["is_near_keeper"]
     assert out[5]["is_exact_keeper"]  # dropped only by the near-dup gate
+
+
+def test_ivf_topk_with_kmeans_centroids(spark, embeddings):
+    """KMeans coarse quantizer plugs into the same IVF plumbing; the
+    planted near-identical pair must land in the same cell and be found."""
+    from jitsu_spark.similarity import ivf_topk, kmeans_centroids
+
+    cent = kmeans_centroids(embeddings, "embedding", n_centroids=4, seed=7)
+    assert cent.count() == 4
+    queries = embeddings.filter(F.col("vec_id") == 0)
+    out = ivf_topk(
+        queries, embeddings, "vec_id", "vec_id", "embedding",
+        k=3, n_probe=1, centroids=cent,
+    ).collect()
+    assert out and out[0]["vec_id_c"] == 1 and out[0]["sim"] > 0.99
