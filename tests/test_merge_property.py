@@ -1,0 +1,69 @@
+"""Property-based check of the merge kernel: for ANY op sequence and ANY
+batch split, replaying through the engine must equal the dict oracle —
+hypothesis explores orderings/duplicates/delete-resurrection edges the
+fixed fixtures don't."""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from jitsu_spark.changelog import dict_replay
+from jitsu_spark.lake import LakeTable
+from jitsu_spark.lake.merge import merge_batch
+from tests.test_merge import TARGET_SCHEMA, batch
+
+
+_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["i", "u", "d"]),
+        st.integers(min_value=0, max_value=4),   # doc index (collisions likely)
+        st.integers(min_value=0, max_value=99),  # token payload
+    ),
+    min_size=1,
+    max_size=24,
+)
+_mode = st.sampled_from(["cow", "mor"])
+_splits = st.integers(min_value=1, max_value=4)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops, mode=_mode, n_batches=_splits)
+def test_any_op_sequence_matches_dict_oracle(
+    spark, tmp_path_factory, ops, mode, n_batches
+):
+    rows = [
+        {
+            "seq": i,
+            "op": op,
+            "doc_id": f"doc{d}",
+            "tokens": None if op == "d" else [tok, d],
+            "n_tok": None if op == "d" else 2,
+            "source": "prop",
+            "ts": None,
+        }
+        for i, (op, d, tok) in enumerate(ops)
+    ]
+    expected = dict_replay(rows)
+
+    root = str(tmp_path_factory.mktemp("prop"))
+    t = LakeTable.create(
+        spark, os.path.join(root, "t"), TARGET_SCHEMA, "doc_id",
+        n_buckets=4, properties={"write.mode": mode},
+    )
+    per = len(rows) // n_batches + 1
+    for b in range(n_batches):
+        chunk = rows[b * per : (b + 1) * per]
+        if chunk:
+            merge_batch(t, batch(spark, chunk), batch_id=b, job_id="prop")
+    got = {
+        r["doc_id"]: r["tokens"] for r in t.read().collect()
+    }
+    want = {k: v["tokens"] for k, v in expected.items()}
+    assert got == want
