@@ -42,6 +42,7 @@ def connected_components(
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -51,21 +52,51 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("component").alias("_nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["u"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: component := component-of-component. The label
+        # graph is a forest pointing at smaller ids, so jumping halves
+        # path lengths each round — convergence in O(log diameter) rounds
+        # instead of O(diameter) (a plain neighbor-min loop silently
+        # under-merges long chains within any fixed max_iter).
+        parents = stepped.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
         updated = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
+            stepped.join(
+                parents, stepped["component"] == parents["p_node"], "left"
+            )
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("p_comp"), F.col("component")),
                 ).alias("component"),
-                (F.col("_nmin") < F.col("component")).alias("_changed"),
             )
         )
         updated = updated.localCheckpoint(eager=True)  # truncate the lineage
-        n_changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
+        # fixpoint when no node's label can improve any further
+        n_changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = updated
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pathological graph diameter); raise max_iter"
+        )
     return labels
 
 

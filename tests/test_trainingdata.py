@@ -334,3 +334,17 @@ def test_ivf_topk_with_kmeans_centroids(spark, embeddings):
         k=3, n_probe=1, centroids=cent,
     ).collect()
     assert out and out[0]["vec_id_c"] == 1 and out[0]["sim"] > 0.99
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 64-node path has diameter 63 — plain neighbor-min propagation
+    would need 63 rounds; pointer jumping must close it within the
+    default max_iter (O(log d) rounds)."""
+    from jitsu_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 163)], ["id_a", "id_b"]
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {100}
+    assert len(comp) == 64
