@@ -244,6 +244,30 @@ def q_events_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup in ONE pass: ROLLUP
+    grouping sets produce (day, hour), per-day, and grand-total rows
+    together — one shuffle instead of three jobs; grouping_id
+    disambiguates levels identically across engines."""
+    e = _read(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    return (
+        e.rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("_sv"),
+            F.grouping_id().alias("lvl"),
+        )
+        .select(
+            "day", "hour", "n",
+            F.col("_sv").cast("decimal(28,2)").alias("sum_value"), "lvl",
+        )
+    )
+
+
 def q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jitsu_spark.dedup import exact_dedup
 
@@ -659,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_event_id": q_deterministic_event_id,
         "mapping_cast": q_mapping_cast,
         "events_per_hour": q_events_per_hour,
+        "rollup_multigrain": q_rollup_multigrain,
         "ua_parse": q_ua_parse,
         "geo_lookup": q_geo_lookup,
         "exact_dedup_documents": q_exact_dedup_documents,
@@ -847,6 +872,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
                        AS sum_value
             FROM events GROUP BY 1
+        """,
+        "rollup_multigrain": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   date_trunc('hour', ts) AS hour,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                       AS sum_value,
+                   GROUPING(date_trunc('day', ts),
+                            date_trunc('hour', ts)) AS lvl
+            FROM events
+            GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
         """,
         "ua_parse": _ua_oracle_sql(),
         "geo_lookup": """
