@@ -1,4 +1,17 @@
+from jitsu_spark.lake.maintenance import overwrite_where, vacuum
+from jitsu_spark.lake.merge import append_batch, merge_batch
 from jitsu_spark.lake.metadata import CommitConflict, Snapshot
+from jitsu_spark.lake.mirror import last_synced_version, sync_mirror
 from jitsu_spark.lake.table import LakeTable
 
-__all__ = ["LakeTable", "Snapshot", "CommitConflict"]
+__all__ = [
+    "LakeTable",
+    "Snapshot",
+    "CommitConflict",
+    "merge_batch",
+    "append_batch",
+    "overwrite_where",
+    "vacuum",
+    "sync_mirror",
+    "last_synced_version",
+]
