@@ -237,10 +237,11 @@ def q_events_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
         )
-        # explicit final decimal: Spark sum(decimal(18,2)) -> decimal(28,2)
-        # while DuckDB yields DECIMAL(38,2); cast BOTH sides to (28,2) so the
-        # driver's value hash agrees (same fix as salted_rollup).
-        .select("hour", "n", F.col("_sv").cast("decimal(28,2)").alias("sum_value"))
+        # Result surface: exact integer cents (BIGINT). DECIMAL columns are
+        # gate-unsafe — the driver's harness materializes Spark Decimal and
+        # DuckDB DECIMAL asymmetrically (r1+r2 lesson), so keep decimals
+        # internal and hand the driver a representation-stable int64.
+        .select("hour", "n", (F.col("_sv") * 100).cast("long").alias("sum_value_c"))
     )
 
 
@@ -263,7 +264,7 @@ def q_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "day", "hour", "n",
-            F.col("_sv").cast("decimal(28,2)").alias("sum_value"), "lvl",
+            (F.col("_sv") * 100).cast("long").alias("sum_value_c"), "lvl",
         )
     )
 
@@ -439,8 +440,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "l_linestatus",
-            F.col("_sq").cast("decimal(28,2)").alias("sum_qty"),
-            F.col("_sbp").cast("decimal(28,2)").alias("sum_base_price"),
+            # exact integer cents: DECIMAL is gate-unsafe on the result surface
+            (F.col("_sq") * 100).cast("long").alias("sum_qty_c"),
+            (F.col("_sbp") * 100).cast("long").alias("sum_base_price_c"),
             "count_order",
         )
     )
@@ -461,7 +463,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "n_name",
-            F.col("_rev").cast("decimal(28,2)").alias("revenue"),
+            (F.col("_rev") * 100).cast("long").alias("revenue_c"),
             "n_orders",
         )
     )
@@ -607,7 +609,10 @@ def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         log, ["op"], {"n": ("count", "*"), "sum_value": ("sum", "value_dec")},
         n_salts=8, salt_on=["seq"],
     )
-    return out.select("op", "n", F.col("sum_value").cast("decimal(28,2)").alias("sum_value"))
+    # integer cents on the result surface (DECIMAL is gate-unsafe)
+    return out.select(
+        "op", "n", (F.col("sum_value") * 100).cast("long").alias("sum_value_c")
+    )
 
 
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,13 +659,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jitsu_spark.multimodal import decode_features, synthetic_media_df
 
     media = synthetic_media_df(spark, 1000, seed=42)
+    # Result surface: the u16 feature vector is emitted as a CSV string —
+    # ARRAY columns are gate-unsafe (the driver's pandas canonicalizer cannot
+    # hash lists; r2 hard error). The operator itself still returns arrays.
     return decode_features(media).select(
         "media_id",
         "kind",
         "n_bytes",
-        F.transform(
-            F.col("features"), lambda x: F.round(x * 65535).cast("int")
-        ).alias("features_u16"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x * 65535).cast("int").cast("string"),
+            ),
+        ).alias("features_u16_csv"),
     )
 
 
@@ -816,8 +828,8 @@ def oracle_sql() -> dict[str, str]:
         "salted_rollup": f"""
             WITH c AS ({cl})
             SELECT op, count(*) AS n,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
-                       AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS sum_value_c
             FROM c GROUP BY op
         """,
         "cdc_schema_widening": f"""
@@ -869,16 +881,16 @@ def oracle_sql() -> dict[str, str]:
         "events_per_hour": """
             SELECT date_trunc('hour', ts) AS hour,
                    count(*) AS n,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
-                       AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS sum_value_c
             FROM events GROUP BY 1
         """,
         "rollup_multigrain": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                    date_trunc('hour', ts) AS hour,
                    count(*) AS n,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
-                       AS sum_value,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS sum_value_c,
                    GROUPING(date_trunc('day', ts),
                             date_trunc('hour', ts)) AS lvl
             FROM events
@@ -1190,10 +1202,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-                        AS DECIMAL(28,2)) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                        AS DECIMAL(28,2)) AS sum_base_price,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS sum_qty_c,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS sum_base_price_c,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1201,8 +1213,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_nation": """
             SELECT n_name,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                        AS DECIMAL(28,2)) AS revenue,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS revenue_c,
                    count(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -1355,9 +1367,10 @@ def oracle_sql() -> dict[str, str]:
                        (('0x'||substr(md5(i||'#42#kind'),1,2))::INT % 3) + 1
                    ] AS kind,
                    CAST(octet_length(unhex(phex)) AS INTEGER) AS n_bytes,
-                   [ ('0x'||substr(sha256(phex), 4*j+3, 2)
-                          ||substr(sha256(phex), 4*j+1, 2))::INT
-                     FOR j IN range(0,16) ] AS features_u16
+                   array_to_string(
+                     [ ('0x'||substr(sha256(phex), 4*j+3, 2)
+                            ||substr(sha256(phex), 4*j+1, 2))::INT
+                       FOR j IN range(0,16) ], ',') AS features_u16_csv
             FROM m
         """,
     }

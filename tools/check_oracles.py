@@ -26,6 +26,7 @@ TABLES = [
 
 
 def _norm(v):
+    """Lossy float normalization (roughly what a forgiving harness does)."""
     if v is None:
         return ""
     if isinstance(v, bool):
@@ -43,16 +44,61 @@ def _norm(v):
     return str(v)
 
 
-def value_hash(rows: list[tuple], colnames: list[str]) -> str:
+def _norm_strict(v):
+    """Exact-representation normalization (type-tagged, no squashing).
+
+    The r1+r2 lesson: the driver's harness is representation-sensitive in
+    ways a lossy replica hides (Decimal trailing zeros, float repr). A pass
+    must mean representation-PROOF, so this side tags types and keeps the
+    canonical string of every value.
+    """
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"  # keeps trailing zeros — '123.40' != '123.4'
+    if isinstance(v, float):
+        return "f:nan" if math.isnan(v) else f"f:{v!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, dt.datetime):
+        return f"ts:{v.replace(tzinfo=None).isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_strict(x) for x in v) + "]"
+    return f"s:{v}"
+
+
+def value_hash(rows: list[tuple], colnames: list[str], norm=_norm) -> str:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted(
-        "|".join(_norm(r[i]) for i in order) for r in rows
+        "|".join(norm(r[i]) for i in order) for r in rows
     )
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+#: Result-surface types the driver's pandas-based hasher materializes
+#: asymmetrically (DECIMAL) or cannot hash at all (ARRAY/MAP/STRUCT).
+#: Any entry query exposing one of these is a gate risk regardless of
+#: whether the local hashes happen to agree.
+_GATE_UNSAFE_SPARK = ("decimal", "array", "map", "struct")
+
+
+def gate_unsafe_cols(sdf, orel) -> dict[str, str]:
+    bad: dict[str, str] = {}
+    for f in sdf.schema.fields:
+        t = f.dataType.simpleString()
+        if t.startswith(_GATE_UNSAFE_SPARK):
+            bad[f.name] = f"spark:{t}"
+    for c, t in zip(orel.columns, orel.types):
+        ts = str(t).upper()
+        if ts.startswith(("DECIMAL", "STRUCT", "MAP")) or "[]" in ts:
+            bad[c] = (bad.get(c, "") + f" duckdb:{ts}").strip()
+    return bad
 
 
 def main() -> int:
@@ -79,45 +125,38 @@ def main() -> int:
         orows = orel.fetchall()
         ocols = list(orel.columns)
         ok_cols = sorted(scols) == sorted(ocols)
-        # The driver's value hash is sensitive to declared decimal
-        # (precision, scale) — Spark decimal(28,2) vs DuckDB DECIMAL(38,2)
-        # hash-mismatches even when every value is equal (r1 lesson:
-        # events_per_hour/pricing_summary/revenue_by_nation). Replicate that
-        # strictness: any decimal column must declare the same (p, s) on
-        # both sides.
-        sdec = {
-            f.name: f.dataType.simpleString().upper()
-            for f in sdf.schema.fields
-            if f.dataType.simpleString().startswith("decimal")
-        }
-        odec = {
-            c: str(t).upper().replace(" ", "")
-            for c, t in zip(orel.columns, orel.types)
-            if str(t).upper().startswith("DECIMAL")
-        }
-        dec_mismatch = {
-            c: (sdec.get(c), odec.get(c))
-            for c in set(sdec) | set(odec)
-            if sdec.get(c) != odec.get(c)
-        }
+        # Strictness rule 1: no gate-unsafe result-surface types, period.
+        # The driver failed DECIMAL (hash asymmetry) and ARRAY (hard error)
+        # columns in r1 AND r2 while this replica passed them — so the
+        # replica now refuses those dtypes outright rather than trusting
+        # any local hash agreement.
+        unsafe = gate_unsafe_cols(sdf, orel)
+        # Strictness rule 2: values must agree under TWO independent
+        # normalizations — lossy float (forgiving) and exact type-tagged
+        # string (representation-proof). Both must match.
         ok_n = len(srows) == len(orows)
-        sh = value_hash(srows, scols)
-        oh = value_hash(orows, ocols)
+        sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
+        shs = value_hash(srows, scols, _norm_strict)
+        ohs = value_hash(orows, ocols, _norm_strict)
         ok_h = sh == oh
-        ok_dec = not dec_mismatch
-        status = "OK " if (ok_cols and ok_n and ok_h and ok_dec) else "FAIL"
-        if status == "FAIL":
+        ok_hs = shs == ohs
+        ok = ok_cols and ok_n and ok_h and ok_hs and not unsafe
+        status = "OK " if ok else "FAIL"
+        if not ok:
             failures += 1
         print(
             f"{name:28s} {status} rows={len(srows)}/{len(orows)} "
-            f"cols={'=' if ok_cols else f'{scols} vs {ocols}'} hash={'=' if ok_h else f'{sh} vs {oh}'}"
-            + ("" if ok_dec else f" decimal_mismatch={dec_mismatch}")
+            f"cols={'=' if ok_cols else f'{scols} vs {ocols}'} "
+            f"hash={'=' if ok_h else f'{sh} vs {oh}'} "
+            f"strict={'=' if ok_hs else f'{shs} vs {ohs}'}"
+            + ("" if not unsafe else f" GATE-UNSAFE-COLS={unsafe}")
         )
-        if not ok_h and ok_cols and ok_n:
+        if (not ok_h or not ok_hs) and ok_cols and ok_n:
+            norm = _norm if not ok_h else _norm_strict
             order = sorted(range(len(scols)), key=lambda i: scols[i])
-            sset = sorted("|".join(_norm(r[i]) for i in order) for r in srows)
+            sset = sorted("|".join(norm(r[i]) for i in order) for r in srows)
             oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
-            oset = sorted("|".join(_norm(r[i]) for i in oorder) for r in orows)
+            oset = sorted("|".join(norm(r[i]) for i in oorder) for r in orows)
             diffs = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
             for a, b in diffs:
                 print(f"    spark:  {a[:150]}")
