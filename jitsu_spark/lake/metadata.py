@@ -121,14 +121,31 @@ def current_version(root: str) -> int:
             break  # incomplete claim (in-flight or dead writer)
         v += 1
     if v != hint:
-        try:
-            tmp = _hint_path(root) + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(str(v))
-            os.replace(tmp, _hint_path(root))
-        except OSError:
-            pass
+        _repair_hint(root, hint, v)
     return v
+
+
+def _repair_hint(root: str, read_hint: int, rolled_v: int) -> None:
+    """Opportunistically advance the hint to ``rolled_v``, best effort.
+
+    Per-repairer tmp name (concurrent repairers never clobber each other's
+    tmp files) and a re-check of the hint immediately before the swap — a
+    concurrent commit_snapshot may have advanced it past our rolled-forward
+    value, and replacing then would make the hint non-monotone. Losing the
+    race is fine (every reader re-runs the roll-forward loop); overwriting
+    a NEWER hint is not."""
+    try:
+        tmp = f"{_hint_path(root)}.tmp.{os.getpid()}.{id(object())}"
+        with open(tmp, "w") as f:
+            f.write(str(rolled_v))
+        with open(_hint_path(root)) as f:
+            current = int(f.read().strip())
+        if current <= read_hint:
+            os.replace(tmp, _hint_path(root))
+        else:
+            os.unlink(tmp)
+    except (OSError, ValueError):
+        pass
 
 
 def load_snapshot(root: str, version: int | None = None) -> Snapshot:

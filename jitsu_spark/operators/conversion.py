@@ -54,6 +54,14 @@ def ga_payload(
     every column), sorted by key, with tid/v stamped and the event type
     aliased. Pure expressions — one projection."""
     fields = list(fields if fields is not None else df.columns)
+    reserved = {"tid", "v"} & set(fields)
+    if reserved:
+        # a data column literally named 'tid' or 'v' would silently
+        # overwrite the stamped tracking id / protocol version
+        raise ValueError(
+            f"ga_payload: field(s) {sorted(reserved)} collide with the "
+            "reserved GA protocol keys 'tid'/'v'; rename or exclude them"
+        )
     parts: dict[str, F.Column] = {
         "tid": F.lit(tracking_id),
         "v": F.lit("1"),

@@ -36,13 +36,24 @@ GEO_FIELDS = ("country", "city", "latitude", "longitude", "zip", "region")
 
 
 def ip_to_long(col: Column) -> Column:
-    """Dotted-quad IPv4 string -> long (NULL for malformed input)."""
+    """Dotted-quad IPv4 string -> long (NULL for malformed input).
+
+    Every octet must parse AND be in [0, 255]: an out-of-range octet like
+    '10.0.0.300' would otherwise alias into a NEIGHBORING block's numeric
+    range and return a wrong geo match — the reference skips enrichment on
+    resolve errors, so malformed IPs must stay NULL, never mis-resolve.
+    """
     p = F.split(col, r"\.")
+    # try_cast: non-numeric octets stay NULL (ANSI cast would throw)
+    octs = [p[i].try_cast("long") for i in range(4)]
+    in_range = [
+        F.when(o.isNotNull() & o.between(0, 255), o) for o in octs
+    ]
     num = (
-        p[0].cast("long") * F.lit(16777216)
-        + p[1].cast("long") * F.lit(65536)
-        + p[2].cast("long") * F.lit(256)
-        + p[3].cast("long")
+        in_range[0] * F.lit(16777216)
+        + in_range[1] * F.lit(65536)
+        + in_range[2] * F.lit(256)
+        + in_range[3]
     )
     return F.when(F.size(p) == 4, num)
 
@@ -58,6 +69,10 @@ def with_geo_lookup(
     ``geo_dim`` columns: net_start, net_end (long, inclusive) + any of
     GEO_FIELDS. Events whose IP matches no block (or is malformed) keep
     NULL geo columns — the reference skips enrichment on resolve errors.
+
+    Blocks must be NON-OVERLAPPING (the MaxMind invariant): an overlapping
+    dim would silently duplicate fact rows through the range join. Call
+    ``validate_geo_dim`` on untrusted block tables before joining.
     """
     geo_cols = [c for c in GEO_FIELDS if c in geo_dim.columns]
     dim = geo_dim.select(
@@ -83,6 +98,35 @@ def with_geo_lookup(
         how="left",
     )
     return joined.drop("_b16", "_ip_num", "net_start", "net_end")
+
+
+def validate_geo_dim(geo_dim: DataFrame) -> None:
+    """Raise if block ranges are malformed or overlap (the invariant the
+    range join in ``with_geo_lookup`` relies on to emit at most one geo
+    row per event). The dim is broadcast-sized, so one window pass over
+    it is cheap."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("net_start")
+    bad = (
+        geo_dim.select("net_start", "net_end")
+        .withColumn("_prev_end", F.lag("net_end").over(w))
+        .filter(
+            (F.col("net_end") < F.col("net_start"))
+            | (F.col("_prev_end").isNotNull()
+               & (F.col("net_start") <= F.col("_prev_end")))
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            "geo_dim blocks overlap or are inverted near "
+            f"net_start={r['net_start']} net_end={r['net_end']} "
+            f"(prev_end={r['_prev_end']}); with_geo_lookup requires "
+            "non-overlapping ranges"
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -23,12 +23,17 @@ joins inside the micro-batch:
        parked events are completed, merged into the destination, and
        deleted from ``pending`` (a 'd' merge by event_id).
 
-Scale notes: identities is a key-value dimension — its per-batch delta is
-tiny and the join side is the (small) anonymous slice of the batch, so
-both joins broadcast the batch side; pending stays bounded by the
-unidentified backlog (the reference bounds it with a TTL — here a
-``expire_pending`` maintenance call). All state mutations ride the same
-exactly-once commit manifest as the destination table.
+Scale notes: identities is a key-value dimension that grows with every
+anon id ever seen — it is the BIG side at scale and is never broadcast;
+its scan is pruned to the buckets the batch's anon ids hash into. The
+batch's anonymous slice is broadcast only while it is small
+(``broadcast_row_threshold``, same regime switch as merge.py's key
+anti-join) — large anonymous slices fall back to a plain shuffled join,
+because a forced broadcast of a 10^7-row slice would blow the driver.
+Pending stays bounded by the unidentified backlog (the reference bounds
+it with a TTL — here a ``expire_pending`` maintenance call). All state
+mutations ride the same exactly-once commit manifest as the destination
+table.
 """
 
 from __future__ import annotations
@@ -71,12 +76,14 @@ class UserRecognition:
         event_id_col: str = "event_id",
         anon_col: str = "anon_id",
         user_col: str = "user_id",
+        broadcast_row_threshold: int = 200_000,
     ):
         self.spark = spark
         self.destination = destination
         self.event_id_col = event_id_col
         self.anon_col = anon_col
         self.user_col = user_col
+        self.broadcast_row_threshold = broadcast_row_threshold
         id_root = os.path.join(root, "_identities")
         if LakeTable.exists(id_root):
             self.identities = LakeTable.load(spark, id_root)
@@ -130,9 +137,12 @@ class UserRecognition:
         # The identities table is the BIG side at scale (one row per anon
         # id ever seen) — never broadcast it. Instead: prune its scan to
         # the buckets the batch's anon ids hash into (driver-side list,
-        # bounded by n_buckets), broadcast the SMALL anonymous slice into
-        # an inner join, and recover the unmatched slice with a broadcast
-        # anti-join on the matched keys.
+        # bounded by n_buckets), then join the anonymous slice. The slice
+        # is broadcast only while small (anonymous events are commonly the
+        # MAJORITY of a micro-batch, and at 10^7-row batches a forced
+        # broadcast exceeds driver memory) — above the threshold both the
+        # inner join and the matched-keys anti-join run as plain shuffled
+        # joins and AQE picks the physical strategy.
         anon_buckets = [
             r["b"]
             for r in anonymous.select(
@@ -141,18 +151,24 @@ class UserRecognition:
             .distinct()
             .collect()
         ]
+        n_anon = anonymous.count()
+        small_anon = n_anon <= self.broadcast_row_threshold
         ids_scan = self.identities.read(buckets=anon_buckets).withColumnRenamed(
             "user_id", "_resolved"
         )
         recognized = (
-            ids_scan.join(F.broadcast(anonymous), on=anon, how="inner")
+            ids_scan.join(
+                F.broadcast(anonymous) if small_anon else anonymous,
+                on=anon, how="inner",
+            )
             .withColumn(user, F.col("_resolved"))
             .drop("_resolved")
             .select(*anonymous.columns)
         )
         matched_keys = recognized.select(anon).distinct()
         unmatched = anonymous.join(
-            F.broadcast(matched_keys), on=anon, how="left_anti"
+            F.broadcast(matched_keys) if small_anon else matched_keys,
+            on=anon, how="left_anti",
         )
 
         to_destination = identified.unionByName(recognized).unionByName(unkeyed)

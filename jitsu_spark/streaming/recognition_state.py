@@ -62,6 +62,22 @@ def recognize_with_state(
         for f in out_schema.fields
         if isinstance(f.dataType, T.TimestampType)
     ]
+    # Pin pandas dtypes for the JSON unpark: without them read_json
+    # re-infers types, so a StringType id like '007' comes back as int 7
+    # (corrupting the merge key) and nullable longs come back float64+NaN
+    # (breaking Arrow conversion against the output schema).
+    unpark_dtypes = {}
+    for f in out_schema.fields:
+        if isinstance(f.dataType, T.StringType):
+            unpark_dtypes[f.name] = "object"
+        elif isinstance(
+            f.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        ):
+            unpark_dtypes[f.name] = "Int64"  # nullable int, Arrow-safe
+        elif isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            unpark_dtypes[f.name] = "float64"
+        elif isinstance(f.dataType, T.BooleanType):
+            unpark_dtypes[f.name] = "boolean"
 
     def fn(key, pdfs, state):
         resolved, parked = (state.get if state.exists else (None, []))
@@ -83,6 +99,7 @@ def recognize_with_state(
                 unparked = pd.read_json(
                     StringIO("\n".join(parked)), lines=True,
                     convert_dates=ts_cols or False,
+                    dtype=unpark_dtypes,
                 )
                 unparked[user_col] = resolved
                 out.append(unparked[out_cols])

@@ -166,3 +166,35 @@ def test_overwrite_where_file_level_pruning(spark, tmpdir_path):
     assert all(v == 99.0 for k, v in rows.items() if k.startswith("2024-02"))
     assert all(v == 1.0 for k, v in rows.items() if k.startswith("2024-01"))
     assert all(v == 3.0 for k, v in rows.items() if k.startswith("2024-03"))
+
+
+def test_hint_repair_never_regresses_newer_hint(spark, tmpdir_path):
+    """The opportunistic hint repair must not overwrite a hint a concurrent
+    commit advanced past the repairer's rolled-forward value (ADVICE r2:
+    the unguarded os.replace made the hint non-monotone)."""
+    from jitsu_spark.lake import metadata as md
+
+    t = make_table(spark, tmpdir_path)
+    merge_batch(t, batch(spark, [ev(1, "i", "a", [1])]), batch_id=0)
+    hint_file = os.path.join(t.root, "metadata", "version-hint.txt")
+    with open(hint_file) as f:
+        now = int(f.read().strip())
+    # a concurrent commit has already advanced the hint to now+5 ...
+    with open(hint_file, "w") as f:
+        f.write(str(now + 5))
+    # ... so a repairer that read hint=now and rolled forward to now+1
+    # must lose the race and leave the newer hint intact
+    md._repair_hint(t.root, read_hint=now, rolled_v=now + 1)
+    with open(hint_file) as f:
+        assert int(f.read().strip()) == now + 5
+    # the normal case (hint unchanged since read) still repairs
+    with open(hint_file, "w") as f:
+        f.write(str(now))
+    md._repair_hint(t.root, read_hint=now, rolled_v=now + 1)
+    with open(hint_file) as f:
+        assert int(f.read().strip()) == now + 1
+    # and no tmp litter is left behind either way
+    assert not [
+        p for p in os.listdir(os.path.join(t.root, "metadata"))
+        if ".tmp." in p
+    ]

@@ -310,3 +310,70 @@ def test_conversion_spool_sink_idempotent(spark, tmpdir_path):
         spark.read.text(os.path.join(spool, "batch=7")).collect()
     )
     assert [r["value"] for r in lines] == ["cid=1&ev=5&t=event&tid=UA-9&v=1"]
+
+
+def test_ip_to_long_rejects_out_of_range_octets(spark):
+    """A malformed IP like 10.0.0.300 must resolve to NULL, never alias
+    into a neighboring block's numeric range (ADVICE r2)."""
+    from jitsu_spark.operators.geo_ua import ip_to_long, with_geo_lookup
+
+    df = spark.createDataFrame(
+        [("10.0.0.300",), ("10.0.0.30",), ("256.1.1.1",), ("1.2.3",),
+         ("a.b.c.d",), ("-1.2.3.4",), ("0.0.0.0",), ("255.255.255.255",)],
+        "ip string",
+    )
+    got = {r["ip"]: r["n"] for r in df.select(
+        "ip", ip_to_long(F.col("ip")).alias("n")).collect()}
+    assert got["10.0.0.300"] is None
+    assert got["256.1.1.1"] is None
+    assert got["1.2.3"] is None
+    assert got["a.b.c.d"] is None
+    assert got["-1.2.3.4"] is None
+    assert got["10.0.0.30"] == 10 * 16777216 + 30
+    assert got["0.0.0.0"] == 0
+    assert got["255.255.255.255"] == 2**32 - 1
+
+    # end-to-end: the out-of-range IP keeps NULL geo columns instead of
+    # matching the block that contains the aliased numeric value
+    dim = spark.createDataFrame(
+        [(10 * 16777216, 10 * 16777216 + 255, "XX")],
+        "net_start long, net_end long, country string",
+    )
+    out = {r["ip"]: r["geo_country"] for r in with_geo_lookup(
+        df, dim, ip_col="ip").collect()}
+    assert out["10.0.0.30"] == "XX"
+    assert out["10.0.0.300"] is None
+
+
+def test_validate_geo_dim_rejects_overlap(spark):
+    from jitsu_spark.operators.geo_ua import validate_geo_dim
+
+    ok = spark.createDataFrame(
+        [(0, 10, "A"), (11, 20, "B")],
+        "net_start long, net_end long, country string",
+    )
+    validate_geo_dim(ok)  # no raise
+    overlapping = spark.createDataFrame(
+        [(0, 10, "A"), (5, 20, "B")],
+        "net_start long, net_end long, country string",
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        validate_geo_dim(overlapping)
+    inverted = spark.createDataFrame(
+        [(10, 0, "A")], "net_start long, net_end long, country string",
+    )
+    with pytest.raises(ValueError, match="overlap|inverted"):
+        validate_geo_dim(inverted)
+
+
+def test_ga_payload_reserved_keys_raise(spark):
+    from jitsu_spark.operators.conversion import ga_payload
+
+    df = spark.createDataFrame([("1", "x")], "cid string, tid string")
+    with pytest.raises(ValueError, match="reserved"):
+        ga_payload(df, tracking_id="UA-9")          # default fields include tid
+    with pytest.raises(ValueError, match="reserved"):
+        ga_payload(df, tracking_id="UA-9", fields=["cid", "tid"])
+    # excluding the colliding column works
+    out = ga_payload(df, tracking_id="UA-9", fields=["cid"]).collect()
+    assert out[0]["ga_payload"] == "cid=1&tid=UA-9&v=1"

@@ -187,3 +187,95 @@ def test_expire_pending_bounds_state(spark, tmpdir_path):
     assert r1.n_reconciled == 1
     rows = {r["event_id"]: r["user_id"] for r in dest.read().collect()}
     assert rows.get("e2") == "U2" and "e1" not in rows
+
+
+def test_stateful_recognition_preserves_numeric_string_ids(spark, tmpdir_path):
+    """Parked events round-trip through JSON state; dtype pinning must keep
+    a numeric-token StringType id ('007') a string and a nullable long a
+    long (ADVICE r2: read_json re-inference corrupted both)."""
+    from jitsu_spark.lake.merge import merge_batch
+    from jitsu_spark.streaming.recognition_state import recognize_with_state
+
+    schema = T.StructType(
+        list(BATCH_SCHEMA.fields) + [T.StructField("n_items", T.LongType())]
+    )
+    dest_schema = T.StructType(
+        [f for f in schema.fields if f.name not in ("seq", "op")]
+    )
+
+    def ev2(seq, event_id, anon_id, user_id, n_items):
+        d = ev(seq, event_id, anon_id, user_id)
+        d["n_items"] = n_items
+        return d
+
+    chunks = [
+        # parked: event_id is a numeric-token string, n_items NULL on e1
+        [ev2(1, "007", "a1", None, None), ev2(2, "008", "a1", None, 7)],
+        # identify arrives later -> both unpark through the JSON round trip
+        [ev2(3, "e3", "a1", "U1", 1)],
+    ]
+    src = os.path.join(tmpdir_path, "src")
+    for rows in chunks:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    dest = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "dest"), dest_schema, "event_id",
+        n_buckets=4,
+    )
+
+    def sink(bdf, bid):
+        merge_batch(dest, bdf, batch_id=bid, job_id="state-rec-dtypes")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        recognize_with_state(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmpdir_path, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    rows = {r["event_id"]: r for r in dest.read().collect()}
+    # '007' must NOT have been re-inferred to int 7 (a '7' key would both
+    # corrupt the merge key and collide with nothing here)
+    assert set(rows) == {"007", "008", "e3"}
+    assert rows["007"]["user_id"] == "U1"
+    assert rows["007"]["n_items"] is None
+    assert rows["008"]["n_items"] == 7
+
+
+def test_recognition_large_anon_slice_falls_back_to_shuffle(spark, tmpdir_path):
+    """Above broadcast_row_threshold the anonymous slice must not be
+    force-broadcast (ADVICE r2: 10^7-row slices would blow the driver);
+    results stay identical through the shuffled path."""
+    dest = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "dest"), DEST_SCHEMA, "event_id",
+        n_buckets=4,
+    )
+    rec = UserRecognition(
+        spark, tmpdir_path, dest, broadcast_row_threshold=2
+    )
+    b0 = spark.createDataFrame(
+        [ev(1, "e1", "a1", "U1")], BATCH_SCHEMA
+    )
+    rec.apply_batch(b0, batch_id=0)  # seed the identity mapping
+    # 5 anonymous events > threshold=2 -> shuffled join regime
+    b1 = spark.createDataFrame(
+        [ev(10 + i, f"x{i}", "a1" if i % 2 == 0 else "a9", None)
+         for i in range(5)],
+        BATCH_SCHEMA,
+    )
+    r1 = rec.apply_batch(b1, batch_id=1)
+    assert r1.n_recognized_in_batch == 3   # a1 events resolve to U1
+    assert r1.n_parked == 2                # a9 events park
+    rows = {r["event_id"]: r["user_id"] for r in dest.read().collect()}
+    assert rows["x0"] == rows["x2"] == rows["x4"] == "U1"
+    assert "x1" not in rows and "x3" not in rows
