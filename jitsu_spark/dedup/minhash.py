@@ -89,12 +89,25 @@ def lsh_candidate_pairs(
     k: int = 8,
     bands: int = 4,
     shingle_n: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) that agree on >=1 LSH band.
 
     Bands of r = k/bands minhashes are concatenated and md5'd; a
     self-equi-join per band finds collisions. Result columns:
     (id_a, id_b) distinct pairs.
+
+    ``max_bucket_size`` is the standard guard against the degenerate-bucket
+    quadratic blowup: at corpus scale, boilerplate/empty/identical docs all
+    land in ONE band bucket, and the self-join of a b-row bucket is b² —
+    a single million-doc bucket is 10^12 join rows. Buckets larger than the
+    cap are dropped whole (their members are trivially findable by exact
+    dedup, which is the right tool for identical docs). Never a silent
+    cap: run ``lsh_bucket_stats`` with the same parameters for the exact
+    skipped-bucket inventory. (An ``observe()`` metric was tried and
+    rejected: AQE's empty-relation propagation prunes the CollectMetrics
+    node whenever the cap empties a branch — precisely the degenerate
+    corpus the guard exists for — so the metric silently vanishes.)
     """
     if k % bands:
         raise ValueError("k must be divisible by bands")
@@ -117,6 +130,18 @@ def lsh_candidate_pairs(
             ])
         ).alias("b"),
     ).select(id_col, "b.band_no", "b.bh")
+    if max_bucket_size is not None:
+        # one window pass sized per (band_no, bh); its shuffle partitioning
+        # is the same key the self-join needs, so Catalyst reuses the
+        # exchange — the cap costs no extra shuffle of the id stream
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_no", "bh")
+        stacked = (
+            stacked.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     left = stacked.alias("l")
     right = stacked.alias("r")
     pairs = (
@@ -132,6 +157,61 @@ def lsh_candidate_pairs(
         .distinct()
     )
     return pairs
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 1,
+    max_bucket_size: int | None = None,
+) -> dict:
+    """Exact band-bucket size distribution for a corpus — the companion to
+    ``lsh_candidate_pairs(max_bucket_size=...)`` that makes the cap never
+    silent. Returns ``{n_buckets, max_bucket, skipped_buckets,
+    rows_in_skipped_buckets}`` (the skipped_* fields are 0 when no cap is
+    given). One aggregation job over the signatures; cache ``df`` first if
+    running both this and the pair join over a huge corpus."""
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    r = k // bands
+    sig = minhash_signature(df.select(id_col, text_col), text_col, k, shingle_n)
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    stacked = sig.select(F.col(id_col), *band_cols).select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("b"),
+    ).select(id_col, "b.band_no", "b.bh")
+    sizes = stacked.groupBy("band_no", "bh").agg(F.count(F.lit(1)).alias("sz"))
+    cap = max_bucket_size if max_bucket_size is not None else None
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.coalesce(
+            F.sum(F.when(F.col("sz") > cap, 1) if cap is not None else F.lit(None)),
+            F.lit(0),
+        ).alias("skipped_buckets"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("sz") > cap, F.col("sz"))
+                if cap is not None
+                else F.lit(None)
+            ),
+            F.lit(0),
+        ).alias("rows_in_skipped_buckets"),
+    ).collect()[0]
+    return row.asDict()
 
 
 def ngram_jaccard_pairs(

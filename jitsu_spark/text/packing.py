@@ -48,22 +48,43 @@ def pack_tokens(
     tokens_col: str = "tokens",
     max_len: int = 2048,
     n_partitions: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Pack ``tokens_col`` arrays into fixed-``max_len`` sequences.
 
     Returns (pack_id, tokens, n_tok); every pack except the last is
     exactly ``max_len`` long and equals the corresponding slice of the
-    doc_id-ordered global token stream."""
+    doc_id-ordered global token stream.
+
+    ``reliable=False`` pins the range-partition boundaries with
+    ``localCheckpoint`` — fastest, but executor-local blocks die with
+    their executor, so it suits local/short-lived jobs. ``reliable=True``
+    uses a reliable checkpoint when ``sc.setCheckpointDir`` points at
+    durable storage (HDFS/S3), else an eager DISK_ONLY persist whose
+    blocks recompute THROUGH the already-built RangePartitioner on
+    executor loss (the partitioner is fixed in the shuffle dependency, so
+    recovered partitions keep identical boundaries). Use it for 100 TB
+    cluster runs; both modes produce identical packs."""
     n_parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     ordered = df.select(doc_col, tokens_col).repartitionByRange(
         n_parts, F.col(doc_col)
     ).sortWithinPartitions(doc_col)
     # pin the range partitioning: the counting pass and the packing pass
     # MUST see identical partition boundaries (repartitionByRange samples
-    # to pick them; a recompute that re-samples would silently misplace
-    # offsets). localCheckpoint materializes the ordered stream once —
-    # the job's working set, paid exactly once.
-    ordered = ordered.localCheckpoint(eager=True)
+    # to pick them; an independent recompute that re-samples would
+    # silently misplace offsets). Materialized once — the job's working
+    # set, paid exactly once.
+    if reliable:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            ordered = ordered.checkpoint(eager=True)
+        else:
+            from pyspark import StorageLevel
+
+            ordered = ordered.persist(StorageLevel.DISK_ONLY)
+            ordered.count()
+    else:
+        ordered = ordered.localCheckpoint(eager=True)
 
     # pass 1: per-partition token totals -> exact global start offsets
     counts = (

@@ -348,3 +348,86 @@ def test_connected_components_long_chain_converges(spark):
     comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     assert set(comp.values()) == {100}
     assert len(comp) == 64
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """10k identical docs put ALL rows in one bucket per band; without the
+    cap the self-join is 4 x 10k^2 = 4*10^8 rows. With the cap the query
+    completes in bounded time, returns no pairs, and lsh_bucket_stats
+    reports the exact skipped inventory (never a silent cap)."""
+    import time
+
+    from jitsu_spark.dedup.minhash import lsh_bucket_stats
+
+    docs = spark.range(10_000).select(
+        F.concat(F.lit("d"), F.format_string("%05d", "id")).alias("doc_id"),
+        F.lit("the same boilerplate sentence repeated everywhere").alias("text"),
+    )
+    t0 = time.time()
+    pairs = lsh_candidate_pairs(
+        docs, "doc_id", "text", k=8, bands=4, max_bucket_size=100,
+    )
+    assert pairs.count() == 0
+    assert time.time() - t0 < 60
+    stats = lsh_bucket_stats(
+        docs, "doc_id", "text", k=8, bands=4, max_bucket_size=100
+    )
+    assert stats["skipped_buckets"] == 4           # one degenerate bucket/band
+    assert stats["rows_in_skipped_buckets"] == 40_000
+    assert stats["max_bucket"] == 10_000
+
+    # mixed corpus: real near-dup pairs in small buckets still surface
+    mixed = docs.limit(200).unionByName(
+        spark.createDataFrame(
+            [("u1", "alpha beta gamma delta"), ("u2", "alpha beta gamma delta")],
+            "doc_id string, text string",
+        )
+    )
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            mixed, "doc_id", "text", k=8, bands=4, max_bucket_size=100
+        ).collect()
+    }
+    assert ("u1", "u2") in found
+    assert all(a.startswith("u") for a, b in found)
+
+
+def test_pack_tokens_reliable_mode_identical(spark, tmp_path):
+    """reliable=True (durable checkpoint / DISK_ONLY persist) must produce
+    byte-identical packs to the localCheckpoint default — it only changes
+    WHERE the pinned partitioning is materialized."""
+    from jitsu_spark.text import pack_tokens
+
+    docs = spark.range(300).select(
+        F.concat(F.lit("d"), F.format_string("%04d", "id")).alias("doc_id"),
+        F.sequence(F.lit(0), (F.col("id") % 37).cast("int")).alias("tokens"),
+    )
+
+    def packs(df):
+        return {
+            r["pack_id"]: (r["tokens"], r["n_tok"])
+            for r in pack_tokens(df, max_len=128, n_partitions=4).collect()
+        }
+
+    base = packs(docs)
+    got_persist = {
+        r["pack_id"]: (r["tokens"], r["n_tok"])
+        for r in pack_tokens(
+            docs, max_len=128, n_partitions=4, reliable=True
+        ).collect()
+    }
+    assert got_persist == base
+
+    # with a checkpoint dir set, reliable=True takes the checkpoint path
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        got_ckpt = {
+            r["pack_id"]: (r["tokens"], r["n_tok"])
+            for r in pack_tokens(
+                docs, max_len=128, n_partitions=4, reliable=True
+            ).collect()
+        }
+    finally:
+        spark.sparkContext.setCheckpointDir(None)
+    assert got_ckpt == base
