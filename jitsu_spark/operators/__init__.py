@@ -11,6 +11,11 @@ from jitsu_spark.operators.geo_ua import (
 )
 from jitsu_spark.operators.routing import route_to_tables, table_name_expr
 from jitsu_spark.operators.salting import salted_agg, salted_lww
+from jitsu_spark.operators.transform import (
+    split_dead_letter,
+    transform_events,
+    transform_events_vectorized,
+)
 
 __all__ = [
     "flatten",
@@ -28,4 +33,7 @@ __all__ = [
     "table_name_expr",
     "salted_agg",
     "salted_lww",
+    "split_dead_letter",
+    "transform_events",
+    "transform_events_vectorized",
 ]

@@ -40,6 +40,41 @@ class RoutedMergeResult:
     per_table: dict[str, MergeResult] = field(default_factory=dict)
 
 
+def multiplex_by_token(
+    batch_df: DataFrame,
+    token_map: dict[str, list[str]],
+    token_col: str = "api_key",
+    table_col: str = "_table",
+    keep_unmatched: bool = False,
+) -> DataFrame:
+    """Token multiplexing (F4): fan each event out to EVERY destination
+    configured for its api token, as one routed row per destination.
+
+    Reference semantics: the per-token consumer loop in
+    /root/reference/server/handlers/event.go:92-108 (token ->
+    GetConsumers(tokenID) -> Consume per consumer) — re-derived, no code
+    ported. Spark-first: the (token, destination) pairs form a tiny
+    broadcast dim; the fan-out is one broadcast inner join, so the event
+    stream never shuffles and an event with a k-destination token becomes
+    k routed rows. Events whose token has no destination are dropped
+    (the reference 400s them); pass ``keep_unmatched=True`` to keep them
+    with a NULL ``table_col`` for a dead-letter path instead.
+
+    Feed the result to :func:`merge_routed` — each destination keeps its
+    own exactly-once manifest."""
+    spark = batch_df.sparkSession
+    pairs = [
+        (tok, dest) for tok, dests in token_map.items() for dest in dests
+    ]
+    if not pairs:
+        raise ValueError("token_map has no (token, destination) pairs")
+    dim = spark.createDataFrame(
+        pairs, f"{token_col} string, {table_col} string"
+    )
+    how = "left" if keep_unmatched else "inner"
+    return batch_df.join(F.broadcast(dim), on=token_col, how=how)
+
+
 def merge_routed(
     spark: SparkSession,
     root: str,

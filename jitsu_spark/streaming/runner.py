@@ -51,6 +51,14 @@ class CdcStreamJob:
     max_files_per_trigger: int | None = None
     source: "StreamSource | None" = None  # takes precedence over source_dir
     transform: Callable[[DataFrame], DataFrame] | None = None  # pre-merge stage
+    # user event-function stage (reference design-docs/transformations.md):
+    # fn(event dict) -> None | dict | list[dict]; runs BEFORE `transform`.
+    # Raising events go to dead_letter_dir/batch_id=N (overwrite per batch,
+    # so a replayed micro-batch rewrites the identical dead letters —
+    # idempotent) instead of crashing the stream.
+    event_fn: Callable | None = None
+    event_fn_schema: T.StructType | None = None
+    dead_letter_dir: str | None = None
     # background compaction cadence: after every N applied batches, fold
     # buckets above the file-count threshold (MoR deltas back to base /
     # CoW small files together). At the 10^10-event tail this bounds the
@@ -75,11 +83,34 @@ class CdcStreamJob:
         return src.read_stream(spark)
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
-        if self.transform is not None:
-            batch_df = self.transform(batch_df)
-        res = merge_batch(
-            self.table, batch_df, batch_id=batch_id, job_id=self.job_id
-        )
+        combined = None
+        if self.event_fn is not None:
+            from jitsu_spark.operators.transform import (
+                split_dead_letter,
+                transform_events,
+            )
+
+            # persist: the good-rows merge and the dead-letter write both
+            # scan the transform output — without it the user fn runs twice
+            combined = transform_events(
+                batch_df, self.event_fn, self.event_fn_schema
+            ).persist()
+            batch_df, dead = split_dead_letter(combined)
+            if self.dead_letter_dir is not None:
+                # one subdir per batch_id, overwritten on redelivery: a
+                # replayed micro-batch rewrites the identical dead letters
+                dead.write.mode("overwrite").parquet(
+                    os.path.join(self.dead_letter_dir, f"batch_id={batch_id}")
+                )
+        try:
+            if self.transform is not None:
+                batch_df = self.transform(batch_df)
+            res = merge_batch(
+                self.table, batch_df, batch_id=batch_id, job_id=self.job_id
+            )
+        finally:
+            if combined is not None:
+                combined.unpersist()
         self.results.append(res)
         if self.compact_every_n_batches:
             applied = len([r for r in self.results if not r.skipped])

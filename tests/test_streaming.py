@@ -279,3 +279,58 @@ def test_merge_routed_multi_table_exactly_once(spark, tmpdir_path):
     assert set(r3.per_table) == {"events_2024_02"}
     assert {r["value"] for r in feb.read().filter("doc_id='b'").collect()} == {9.0}
     assert jan.snapshot().version == 1
+
+
+def test_token_multiplex_routes_to_per_token_destinations(spark, tmpdir_path):
+    """F4 engine path: two tokens with disjoint destinations plus one token
+    multiplexing to TWO destinations; each destination gets its own
+    exactly-once manifest (reference: server/handlers/event.go:92-108)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from jitsu_spark.streaming.multiroute import merge_routed, multiplex_by_token
+
+    schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("api_key", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    rows = [
+        (0, "i", "a", "tok_A", 1),
+        (1, "i", "b", "tok_B", 2),
+        (2, "i", "c", "tok_AB", 3),   # multiplexes to two destinations
+        (3, "i", "d", "tok_unknown", 4),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    token_map = {
+        "tok_A": ["dest_a"],
+        "tok_B": ["dest_b"],
+        "tok_AB": ["dest_a", "dest_b"],
+    }
+    routed = multiplex_by_token(df, token_map)
+    root = os.path.join(tmpdir_path, "dests")
+    r1 = merge_routed(spark, root, routed, "doc_id", batch_id=0, job_id="mux")
+    assert set(r1.per_table) == {"dest_a", "dest_b"}
+
+    from jitsu_spark.lake import LakeTable
+
+    a = {r["doc_id"] for r in LakeTable.load(spark, os.path.join(root, "dest_a")).read().collect()}
+    b = {r["doc_id"] for r in LakeTable.load(spark, os.path.join(root, "dest_b")).read().collect()}
+    assert a == {"a", "c"}          # tok_A + multiplexed tok_AB
+    assert b == {"b", "c"}          # tok_B + multiplexed tok_AB
+    # unknown token dropped (reference 400s it)
+    assert "d" not in a | b
+
+    # redelivery: both destination manifests skip the replayed batch
+    r2 = merge_routed(spark, root, routed, "doc_id", batch_id=0, job_id="mux")
+    assert all(res.skipped for res in r2.per_table.values())
+
+    # keep_unmatched surfaces the dropped event for a dead-letter path
+    kept = multiplex_by_token(df, token_map, keep_unmatched=True)
+    nulls = [r["doc_id"] for r in kept.filter("_table IS NULL").collect()]
+    assert nulls == ["d"]
