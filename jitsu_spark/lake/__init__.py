@@ -1,7 +1,11 @@
 from jitsu_spark.lake.maintenance import overwrite_where, vacuum
 from jitsu_spark.lake.merge import append_batch, merge_batch
 from jitsu_spark.lake.metadata import CommitConflict, Snapshot
-from jitsu_spark.lake.mirror import last_synced_version, sync_mirror
+from jitsu_spark.lake.mirror import (
+    last_synced_version,
+    sync_aggregate,
+    sync_mirror,
+)
 from jitsu_spark.lake.table import LakeTable
 
 __all__ = [
@@ -12,6 +16,7 @@ __all__ = [
     "append_batch",
     "overwrite_where",
     "vacuum",
+    "sync_aggregate",
     "sync_mirror",
     "last_synced_version",
 ]

@@ -74,3 +74,102 @@ def sync_mirror(
     ).drop("_change_op", "_commit_version")
     merge_batch(dst, envelope, batch_id=f"v{cur}", job_id=job_id)
     return MirrorResult(from_version=since, to_version=cur)
+
+
+def sync_aggregate(
+    src: LakeTable,
+    dst: LakeTable,
+    group_col: str,
+    sum_cols: list[str] | None = None,
+    count_col: str = "n_rows",
+    job_id: str = "aggmirror",
+) -> MirrorResult:
+    """Incrementally maintain a downstream AGGREGATE table
+    (``group_col -> count + sums``) from an upstream MoR table's
+    ``changes()`` — incremental view maintenance, never a full recompute.
+
+    The changelog carries post-images only, so per sync window the delta
+    is computed as (post-image − pre-image) of just the CHANGED keys:
+
+    1. changed keys   = distinct keys in ``changes(since, cur)`` — O(changes);
+    2. pre-images     = upstream read AT ``since``, pruned to the changed
+       keys' buckets, semi-joined to the changed keys;
+    3. post-images    = same read at ``cur``;
+    4. signed union   (+1 post, −1 pre) group-aggregates to the per-group
+       delta; groups whose count reaches 0 become deletes;
+    5. current aggregate rows for the dirty groups come from ``dst``
+       pruned to the dirty groups' buckets, and the adjusted rows merge
+       back through the normal exactly-once manifest (cursor = the
+       manifest itself, as in :func:`sync_mirror`).
+
+    Every scan is bucket-pruned to the touched keys/groups — O(changed),
+    not O(table), on both ends. Requires ``dst`` keyed by ``group_col``
+    with a ``count_col`` LongType column plus one column per entry of
+    ``sum_cols`` (same names as upstream, summed)."""
+    sum_cols = sum_cols or []
+    since = last_synced_version(dst, job_id)
+    cur = src.snapshot().version
+    if cur <= since:
+        return MirrorResult(from_version=since, to_version=since, skipped=True)
+    key = src.snapshot().key_field
+    ch = src.changes(since_version=since, to_version=cur)
+    changed = ch.select(key).distinct()
+    dirty_buckets = sorted(
+        r["b"]
+        for r in changed.select(src.bucket_expr(F.col(key)).alias("b"))
+        .distinct()
+        .collect()
+    )
+    cols = [group_col, *sum_cols]
+    pre = (
+        src.read(version=since, buckets=dirty_buckets)
+        .join(changed, on=key, how="semi")
+        .select(*cols, F.lit(-1).alias("_sign"))
+    )
+    post = (
+        src.read(version=cur, buckets=dirty_buckets)
+        .join(changed, on=key, how="semi")
+        .select(*cols, F.lit(1).alias("_sign"))
+    )
+    delta = (
+        post.unionByName(pre)
+        .groupBy(group_col)
+        .agg(
+            F.sum("_sign").alias("_d_n"),
+            *[
+                F.sum(F.col(c) * F.col("_sign")).alias(f"_d_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    dst_buckets = sorted(
+        r["b"]
+        for r in delta.select(dst.bucket_expr(F.col(group_col)).alias("b"))
+        .distinct()
+        .collect()
+    )
+    old = dst.read(buckets=dst_buckets).select(
+        group_col,
+        F.col(count_col).alias("_old_n"),
+        *[F.col(c).alias(f"_old_{c}") for c in sum_cols],
+    )
+    merged = (
+        delta.join(old, on=group_col, how="left")
+        .select(
+            group_col,
+            (F.coalesce("_old_n", F.lit(0)) + F.col("_d_n")).alias(count_col),
+            *[
+                (
+                    F.coalesce(f"_old_{c}", F.lit(0))
+                    + F.coalesce(f"_d_{c}", F.lit(0))
+                ).alias(c)
+                for c in sum_cols
+            ],
+        )
+        .withColumn("seq", F.lit(cur).cast("long"))
+        .withColumn(
+            "op", F.when(F.col(count_col) <= 0, F.lit("d")).otherwise(F.lit("u"))
+        )
+    )
+    merge_batch(dst, merged, batch_id=f"v{cur}", job_id=job_id)
+    return MirrorResult(from_version=since, to_version=cur)

@@ -65,6 +65,12 @@ class CdcStreamJob:
     # read amplification of write.mode=mor without blocking every batch.
     compact_every_n_batches: int | None = None
     compact_max_files_per_bucket: int = 8
+    # post-commit hook, called after every APPLIED (non-skipped) merge and
+    # BEFORE any compaction — the seam for chaining downstream incremental
+    # consumers (lake.mirror.sync_mirror / sync_aggregate over
+    # table.changes()); running pre-compaction preserves the
+    # consume-before-compact contract of changes()
+    post_commit: Callable[[int], None] | None = None
     results: list[MergeResult] = field(default_factory=list)
 
     def _reader(self, spark: SparkSession):
@@ -112,6 +118,8 @@ class CdcStreamJob:
             if combined is not None:
                 combined.unpersist()
         self.results.append(res)
+        if self.post_commit is not None and not res.skipped:
+            self.post_commit(batch_id)
         if self.compact_every_n_batches:
             applied = len([r for r in self.results if not r.skipped])
             if applied and applied % self.compact_every_n_batches == 0:

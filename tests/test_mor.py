@@ -9,6 +9,7 @@ import os
 from pyspark.sql import functions as F
 
 from jitsu_spark.changelog import (
+    CHANGELOG_SCHEMA,
     assert_matches_oracle,
     changelog_df,
     dict_replay,
@@ -199,3 +200,152 @@ def test_mirror_sync_incremental(spark, tmpdir_path):
     assert sync_mirror(src, dst, transform=project).skipped
     v = dst.snapshot().version
     assert dst.snapshot().version == v
+
+
+def _agg_expected(src):
+    return {
+        r["source"]: (r["n"], r["s"])
+        for r in src.read()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("s"))
+        .collect()
+    }
+
+
+def _agg_state(dst):
+    return {
+        r["source"]: (r["n_rows"], r["n_tok"])
+        for r in dst.read().collect()
+    }
+
+
+def _make_agg_dst(spark, root, name="agg", n_buckets=4):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_tok", T.LongType()),
+        ]
+    )
+    return LakeTable.create(
+        spark, os.path.join(root, name), schema, "source", n_buckets=n_buckets
+    )
+
+
+def test_sync_aggregate_incremental_view_maintenance(spark, tmpdir_path):
+    """A downstream per-source aggregate maintained ONLY from changes()
+    (post-image minus pre-image of the changed keys) equals a full
+    recompute after every sync — inserts, updates that MOVE a key across
+    groups, deletes, and group-count-to-zero deletions — and every scan is
+    bucket-pruned (asserted on the read calls)."""
+    from jitsu_spark.lake.mirror import sync_aggregate
+
+    src = make_mor(spark, tmpdir_path, n_buckets=8)
+    dst = _make_agg_dst(spark, tmpdir_path)
+
+    read_buckets = []
+    in_sync = []
+    orig_read = src.read
+
+    def spy_read(*a, **kw):
+        if in_sync:
+            read_buckets.append(kw.get("buckets"))
+        return orig_read(*a, **kw)
+
+    src.read = spy_read
+
+    def run_sync():
+        in_sync.append(1)
+        try:
+            return sync_aggregate(src, dst, "source", sum_cols=["n_tok"])
+        finally:
+            in_sync.pop()
+
+    merge_batch(src, batch(spark, [
+        ev(1, "i", "a", [1], source="s1"),
+        ev(2, "i", "b", [2, 2], source="s1"),
+        ev(3, "i", "c", [3, 3, 3], source="s2"),
+    ]), batch_id=0)
+    r1 = run_sync()
+    assert (r1.from_version, r1.to_version) == (0, 1)
+    assert _agg_state(dst) == {"s1": (2, 3), "s2": (1, 3)} == _agg_expected(src)
+
+    # update moves 'b' from s1 to s2 AND grows it; delete 'c' empties
+    # nothing yet; insert 'd' in a new group
+    merge_batch(src, batch(spark, [
+        ev(4, "u", "b", [9, 9, 9, 9], source="s2"),
+        ev(5, "i", "d", [7], source="s3"),
+    ]), batch_id=1)
+    merge_batch(src, batch(spark, [ev(6, "d", "c")]), batch_id=2)
+    r2 = run_sync()
+    assert (r2.from_version, r2.to_version) == (1, 3)
+    assert _agg_state(dst) == _agg_expected(src) == {
+        "s1": (1, 1), "s2": (1, 4), "s3": (1, 1),
+    }
+
+    # delete the last s3 row: the aggregate row must disappear
+    merge_batch(src, batch(spark, [ev(7, "d", "d")]), batch_id=3)
+    run_sync()
+    assert _agg_state(dst) == _agg_expected(src) == {
+        "s1": (1, 1), "s2": (1, 4),
+    }
+
+    # no new upstream commits -> skip; state and version unchanged
+    v = dst.snapshot().version
+    assert run_sync().skipped
+    assert dst.snapshot().version == v
+
+    # O(changed), not O(table): every upstream read was bucket-pruned
+    assert read_buckets and all(
+        b is not None and 0 < len(b) < 8 for b in read_buckets
+    ), read_buckets
+
+
+def test_cdc_stream_chains_downstream_aggregate(spark, tmpdir_path):
+    """End-to-end CDC-out composition inside the streaming runner: each
+    applied micro-batch triggers an incremental sync of the downstream
+    aggregate through post_commit; the aggregate tracks the upstream
+    exactly, and a checkpoint redelivery leaves both tables untouched."""
+    from jitsu_spark.lake.mirror import sync_aggregate
+    from jitsu_spark.streaming import CdcStreamJob
+
+    src_dir = os.path.join(tmpdir_path, "log")
+    rows_a = [ev(i, "i", f"doc{i}", [1] * (i + 1), source=f"s{i % 2}")
+              for i in range(6)]
+    rows_b = [ev(6, "u", "doc0", [5, 5], source="s1"),   # moves s0 -> s1
+              ev(7, "d", "doc1")]
+    batch(spark, rows_a).coalesce(1).write.mode("append").parquet(src_dir)
+    batch(spark, rows_b).coalesce(1).write.mode("append").parquet(src_dir)
+
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), TARGET_SCHEMA, "doc_id",
+        n_buckets=4, properties={"write.mode": "mor"},
+    )
+    agg = _make_agg_dst(spark, tmpdir_path)
+    syncs = []
+
+    def make_job():
+        return CdcStreamJob(
+            table=table,
+            source_dir=src_dir,
+            checkpoint_dir=os.path.join(tmpdir_path, "ckpt"),
+            source_schema=CHANGELOG_SCHEMA,
+            max_files_per_trigger=1,
+            job_id="cdc-chain",
+            post_commit=lambda bid: syncs.append(
+                sync_aggregate(table, agg, "source", sum_cols=["n_tok"])
+            ),
+        )
+
+    make_job().run_available_now(spark)
+    assert len([s for s in syncs if not s.skipped]) == 2  # one per batch
+    assert _agg_state(agg) == _agg_expected(table)
+    v_tbl, v_agg = table.snapshot().version, agg.snapshot().version
+
+    # full redelivery: merges skip via manifest, post_commit never fires
+    make_job().run_available_now(spark)
+    assert table.snapshot().version == v_tbl
+    assert agg.snapshot().version == v_agg
+    assert _agg_state(agg) == _agg_expected(table)
