@@ -1,3 +1,9 @@
+from jitsu_spark.lake.export_ddl import (
+    alter_table_ddl,
+    column_type,
+    create_table_ddl,
+    export_ddl,
+)
 from jitsu_spark.lake.maintenance import overwrite_where, vacuum
 from jitsu_spark.lake.merge import append_batch, merge_batch
 from jitsu_spark.lake.metadata import CommitConflict, Snapshot
@@ -16,6 +22,10 @@ __all__ = [
     "append_batch",
     "overwrite_where",
     "vacuum",
+    "alter_table_ddl",
+    "column_type",
+    "create_table_ddl",
+    "export_ddl",
     "sync_aggregate",
     "sync_mirror",
     "last_synced_version",

@@ -102,3 +102,99 @@ def test_max_columns_guard():
     assert max_columns_of({}) is None
     assert max_columns_of({"schema.max_columns": 0}) is None
     assert max_columns_of({"schema.max_columns": "8"}) == 8
+
+
+# ---------------------------------------------------------------------------
+# export DDL: StructType -> per-warehouse types (reference SchemaTo* tables)
+# ---------------------------------------------------------------------------
+
+def test_export_ddl_reference_type_tables():
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake.export_ddl import column_type
+
+    # the five logical types, matching the reference's SchemaTo* rows
+    cases = {
+        T.StringType(): ("text", "character varying(65535)", "text",
+                         "String", "STRING"),
+        T.LongType(): ("bigint", "bigint", "bigint", "Int64", "INTEGER"),
+        T.DoubleType(): ("numeric(38,18)", "numeric(38,18)", "float(38,18)",
+                         "Float64", "FLOAT"),
+        T.TimestampType(): ("timestamp", "timestamp", "timestamp",
+                            "DateTime", "TIMESTAMP"),
+        T.BooleanType(): ("boolean", "boolean", "boolean", "UInt8",
+                          "BOOLEAN"),
+    }
+    for dt, (pg, rs, my, ch, bq) in cases.items():
+        assert column_type(dt, "postgres") == pg
+        assert column_type(dt, "redshift") == rs
+        assert column_type(dt, "mysql") == my
+        assert column_type(dt, "clickhouse") == ch
+        assert column_type(dt, "bigquery") == bq
+    # engine extensions: token arrays, decimals
+    arr = T.ArrayType(T.IntegerType())
+    assert column_type(arr, "postgres") == "bigint[]"
+    assert column_type(arr, "clickhouse") == "Array(Int64)"
+    assert column_type(arr, "bigquery") == "ARRAY<INTEGER>"
+    assert column_type(T.DecimalType(18, 2), "postgres") == "numeric(18,2)"
+
+
+def test_export_ddl_widening_lattice_corners():
+    """LCA promotions must land on each dialect's text/float row exactly
+    like the reference's STRING/FLOAT64 mappings."""
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake.export_ddl import column_type
+    from jitsu_spark.typesys.lattice import (
+        DataType, common_ancestor, spark_type_for as logical_to_spark,
+    )
+
+    # FLOAT64 ⊔ TIMESTAMP = STRING -> text / String / STRING
+    lca = common_ancestor(DataType.FLOAT64, DataType.TIMESTAMP)
+    assert lca == DataType.STRING
+    sdt = logical_to_spark(lca)
+    assert column_type(sdt, "postgres") == "text"
+    assert column_type(sdt, "clickhouse") == "String"
+    assert column_type(sdt, "bigquery") == "STRING"
+    # INT64 ⊔ FLOAT64 = FLOAT64 -> numeric(38,18) / Float64 / FLOAT
+    lca2 = logical_to_spark(common_ancestor(DataType.INT64, DataType.FLOAT64))
+    assert column_type(lca2, "postgres") == "numeric(38,18)"
+    assert column_type(lca2, "clickhouse") == "Float64"
+    # BOOL ⊔ INT64 = INT64 -> bigint / Int64 / INTEGER
+    lca3 = logical_to_spark(common_ancestor(DataType.BOOL, DataType.INT64))
+    assert column_type(lca3, "bigquery") == "INTEGER"
+
+
+def test_export_create_and_alter_ddl():
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake.export_ddl import alter_table_ddl, create_table_ddl
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+    ])
+    pg = create_table_ddl(schema, "tokens_tbl", "postgres",
+                          key_field="doc_id", schema_name="lake")
+    assert '"lake"."tokens_tbl"' in pg
+    assert '"tokens" bigint[]' in pg
+    assert 'PRIMARY KEY ("doc_id")' in pg
+    ch = create_table_ddl(schema, "tokens_tbl", "clickhouse",
+                          key_field="doc_id")
+    assert "ReplacingMergeTree ORDER BY (`doc_id`)" in ch
+    bq = create_table_ddl(schema, "tokens_tbl", "bigquery")
+    assert "ARRAY<INTEGER>" in bq and "PRIMARY KEY" not in bq
+
+    # add/widen evolution: new column ADDs, long->string widening retypes
+    old = T.StructType([T.StructField("doc_id", T.StringType()),
+                        T.StructField("v", T.LongType())])
+    new = T.StructType([T.StructField("doc_id", T.StringType()),
+                        T.StructField("v", T.StringType()),
+                        T.StructField("lang", T.StringType())])
+    stmts = alter_table_ddl(old, new, "t", "postgres")
+    assert any("ALTER COLUMN" in s and "text" in s for s in stmts)
+    assert any('ADD COLUMN "lang" text' in s for s in stmts)
+    stmts_bq = alter_table_ddl(old, new, "t", "bigquery")
+    assert any("copy migration" in s for s in stmts_bq)
+    assert any("ADD COLUMN `lang` STRING" in s for s in stmts_bq)

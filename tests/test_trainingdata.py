@@ -431,3 +431,56 @@ def test_pack_tokens_reliable_mode_identical(spark, tmp_path):
     finally:
         spark.sparkContext.setCheckpointDir(None)
     assert got_ckpt == base
+
+
+def test_cc_star_equals_pointer_jumping_on_random_graphs(spark):
+    """Property: on seeded random graphs both CC algorithms produce the
+    same partition with the same min-id component labels."""
+    import random
+
+    from jitsu_spark.dedup import connected_components
+
+    for seed in (1, 7, 42):
+        rnd = random.Random(seed)
+        n = 60
+        edges = [
+            (f"n{rnd.randrange(n):03d}", f"n{rnd.randrange(n):03d}")
+            for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+        jump = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs, algorithm="jump").collect()
+        }
+        star = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs, algorithm="star").collect()
+        }
+        assert jump == star, f"seed={seed}"
+        # labels are genuine minima of their components
+        assert all(v <= k for k, v in star.items())
+
+
+def test_cc_star_converges_on_pathological_chain(spark):
+    """A 200-node path graph: label propagation alone would need ~200
+    rounds and even pointer jumping needs ~8; the star variant collapses
+    it within its round budget and labels every node with the chain head."""
+    import pytest
+
+    from jitsu_spark.dedup import connected_components
+
+    chain = [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(200)]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert len(comp) == 201
+    assert set(comp.values()) == {"c0000"}
+
+    # the jump variant with a starved round budget raises instead of
+    # silently under-merging — the star variant is the documented swap
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, algorithm="jump", max_iter=2)
