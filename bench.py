@@ -140,46 +140,73 @@ def main() -> None:
         _noop_write(fn(spark, sf_dir))
         queries[name] = round(time.time() - t0, 3)
 
-    # sf1-equivalent dedup/ANN: inflate documents/embeddings 10x (texts
-    # mutated per replica so LSH buckets stay realistic; embeddings
-    # perturbed so near-dup structure doesn't degenerate), then run the
-    # bucketed-join family at that scale — regressions in the banded joins
-    # are invisible at sf0.1.
+    # sf1-equivalent section: inflate EVERY family's tables 10x (no native
+    # sf1 parquet exists) and rerun one representative per family, so a
+    # scale regression in any family is visible round-over-round, not just
+    # in the LSH/ANN joins. Ids are remapped per replica (uniqueness
+    # preserved), texts mutated so LSH buckets stay realistic, embeddings
+    # perturbed so near-dup structure doesn't degenerate; dims
+    # (customer/nation) are copied as-is, so joins get 10x fan-in.
     docs_scale = int(os.environ.get("JITSU_BENCH_DOCS_SCALE", "10"))
     if docs_scale > 1:
         inflated = tempfile.mkdtemp(prefix="jitsu_bench_sf1_")
         try:
             rep = spark.range(docs_scale).select(F.col("id").alias("_rep"))
-            d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-            n_docs_base = d.count()
-            (
-                d.crossJoin(rep)
-                .select(
-                    (F.col("doc_id") + F.col("_rep") * 10_000_000).alias("doc_id"),
-                    F.when(F.col("_rep") == 0, F.col("text"))
-                    .otherwise(
-                        F.concat(F.col("text"), F.lit(" r"), F.col("_rep"))
-                    )
-                    .alias("text"),
+            shift = F.col("_rep") * 10_000_000
+
+            def _inflate(table: str, remap: set, mutate: dict | None = None):
+                src = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+                out = src.crossJoin(rep)
+                for c in src.columns:
+                    if c in remap:
+                        out = out.withColumn(c, F.col(c) + shift)
+                    elif mutate and c in mutate:
+                        out = out.withColumn(c, mutate[c])
+                out.select(*src.columns).write.parquet(
+                    os.path.join(inflated, f"{table}.parquet")
                 )
-                .write.parquet(os.path.join(inflated, "documents.parquet"))
+
+            _inflate("events", {"event_id"})
+            _inflate("lineitem", {"l_orderkey"})
+            _inflate("orders", {"o_orderkey"})
+            _inflate(
+                "documents", {"doc_id"},
+                {"text": F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                    F.concat(F.col("text"), F.lit(" r"), F.col("_rep"))
+                )},
             )
-            e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-            (
-                e.crossJoin(rep)
-                .select(
-                    (F.col("vec_id") + F.col("_rep") * 10_000_000).alias("vec_id"),
-                    F.transform(
-                        "embedding",
-                        lambda x: x + (F.col("_rep") % 7).cast("float") * 0.003,
-                    ).alias("embedding"),
-                )
-                .write.parquet(os.path.join(inflated, "embeddings.parquet"))
+            _inflate(
+                "embeddings", {"vec_id"},
+                {"embedding": F.transform(
+                    "embedding",
+                    lambda x: x + (F.col("_rep") % 7).cast("float") * 0.003,
+                )},
             )
+            for dim in ("customer", "nation"):
+                spark.read.parquet(
+                    os.path.join(sf_dir, f"{dim}.parquet")
+                ).write.parquet(os.path.join(inflated, f"{dim}.parquet"))
+
             scaled = {
-                "lsh_candidates_10x": entry.q_lsh_candidates,
-                "ann_lsh_topk_10x": entry.q_ann_lsh_topk,
+                # CDC/rollup family (events-derived changelog)
+                "lww_dedup_10x": entry.q_lww_dedup,
+                "events_per_hour_10x": entry.q_events_per_hour,
+                # enrichment family
+                "ua_parse_10x": entry.q_ua_parse,
+                "geo_lookup_10x": entry.q_geo_lookup,
+                "flatten_props_10x": entry.q_flatten_props,
+                # TPC-H-ish scan/join family
+                "pricing_summary_10x": entry.q_pricing_summary,
+                "revenue_by_nation_10x": entry.q_revenue_by_nation,
+                # text/dedup family
+                "exact_dedup_10x": entry.q_exact_dedup_documents,
+                "text_quality_10x": entry.q_text_quality,
+                "pack_sequences_10x": entry.q_pack_sequences,
                 "minhash_signature_10x": entry.q_minhash_signature,
+                "lsh_candidates_10x": entry.q_lsh_candidates,
+                # ANN family
+                "embedding_topk_10x": entry.q_embedding_topk,
+                "ann_lsh_topk_10x": entry.q_ann_lsh_topk,
             }
             # recorded as extras, NOT in the headline total: the inflated
             # corpus is near-dup-heavy by construction (it stresses the
@@ -192,7 +219,6 @@ def main() -> None:
                 sf1_queries[name] = round(time.time() - t0, 3)
             extras["sf1_queries"] = sf1_queries
             extras["docs_scale"] = docs_scale
-            extras["docs_scaled_rows"] = n_docs_base * docs_scale
         finally:
             shutil.rmtree(inflated, ignore_errors=True)
 
