@@ -676,6 +676,119 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transform_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User event-function stage (the reference's designed JS transform,
+    design-docs/transformations.md): drop errors (1->0), fan signups into
+    a shadow event under a derived deterministic id (1->2), pass the rest.
+    Runs through the real mapInPandas transform_events operator; the
+    oracle recomputes the fan-out as a UNION ALL."""
+    from jitsu_spark.operators.transform import (
+        split_dead_letter,
+        transform_events,
+    )
+
+    e = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+
+    def fn(ev):
+        if ev["event_type"] == "error":
+            return None
+        if ev["event_type"] == "signup":
+            shadow = dict(
+                ev,
+                event_id=ev["event_id"] + 500_000_000,
+                event_type="signup_shadow",
+            )
+            return [ev, shadow]
+        return ev
+
+    good, _dead = split_dead_letter(transform_events(e, fn))
+    return good
+
+
+def q_token_multiplex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 token multiplexing: each event fans out to every destination of
+    its api token via a broadcast (token, destination) dim join; unknown
+    tokens drop (reference: server/handlers/event.go:92-108)."""
+    from jitsu_spark.streaming.multiroute import multiplex_by_token
+
+    e = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit("tok"), (F.col("user_id") % 3).cast("string")
+        ).alias("api_key"),
+    )
+    token_map = {"tok0": ["dest_a"], "tok1": ["dest_a", "dest_b"]}
+    out = multiplex_by_token(e, token_map)
+    return out.select("event_id", F.col("_table").alias("dest"))
+
+
+def q_near_dup_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same near-dup pipeline as near_dup_components but clustered with the
+    alternating large-star/small-star algorithm — must agree with the same
+    recursive-CTE oracle (algorithm equivalence under the driver gate)."""
+    from jitsu_spark.dedup import near_dup_components
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return near_dup_components(
+        d, "doc_id", "text", min_jaccard=0.5, k=8, bands=4, shingle_n=3,
+        algorithm="star",
+    )
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance through the REAL engine: the change
+    log replays into a MoR upstream table in 3 seq-ordered batches, and
+    after every merge the downstream per-group aggregate syncs from
+    changes() (post-image minus pre-image of changed keys — never a full
+    recompute). The oracle recomputes the aggregate from the final LWW
+    state; integer cents keep the sums representation-stable."""
+    from jitsu_spark.lake import LakeTable, sync_aggregate
+    from jitsu_spark.lake.merge import merge_batch
+
+    log = _changelog(spark, sf_dir).select(
+        "seq", "op", "doc_id",
+        F.concat(
+            F.lit("g"), (F.col("doc_id").cast("long") % 7).cast("string")
+        ).alias("grp"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v_c"),
+    )
+    up_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("v_c", T.LongType()),
+        ]
+    )
+    agg_schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("v_c", T.LongType()),
+        ]
+    )
+    up = LakeTable.create(
+        spark, _scratch("ivm_up"), up_schema, "doc_id", n_buckets=16,
+        properties={"write.mode": "mor"},
+    )
+    agg = LakeTable.create(
+        spark, _scratch("ivm_agg"), agg_schema, "grp", n_buckets=4
+    )
+    hi = log.agg(F.max("seq")).collect()[0][0] or 0
+    n_batches = 3
+    per = hi // n_batches + 1
+    for i in range(n_batches):
+        part = log.filter(
+            (F.col("seq") >= i * per) & (F.col("seq") < (i + 1) * per)
+        )
+        merge_batch(up, part, batch_id=i, job_id="ivm")
+        sync_aggregate(up, agg, "grp", sum_cols=["v_c"], job_id="ivm-agg")
+    return agg.read().select("grp", "n_rows", "v_c")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_cdc_replay_final_state(spark, "/root/testdata/sf0.001")
@@ -715,8 +828,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "lsh_candidates": q_lsh_candidates,
         "near_dup_components": q_near_dup_components,
+        "near_dup_star": q_near_dup_star,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
+        "transform_fanout": q_transform_fanout,
+        "token_multiplex": q_token_multiplex,
+        "incremental_agg": q_incremental_agg,
     }
 
 
@@ -786,7 +903,7 @@ def _ua_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     cl = _CHANGELOG_SQL
-    return {
+    out = {
         "cdc_replay_final_state": f"""
             WITH c AS ({cl}),
             r AS (SELECT *, row_number() OVER (
@@ -1373,4 +1490,38 @@ def oracle_sql() -> dict[str, str]:
                        FOR j IN range(0,16) ], ',') AS features_u16_csv
             FROM m
         """,
+        "transform_fanout": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_type <> 'error'
+            UNION ALL
+            SELECT event_id + 500000000 AS event_id, user_id,
+                   'signup_shadow' AS event_type
+            FROM events WHERE event_type = 'signup'
+        """,
+        "token_multiplex": """
+            WITH e AS (
+                SELECT event_id, 'tok' || (user_id % 3) AS api_key FROM events
+            ),
+            m(api_key, dest) AS (
+                VALUES ('tok0', 'dest_a'), ('tok1', 'dest_a'),
+                       ('tok1', 'dest_b')
+            )
+            SELECT event_id, dest FROM e JOIN m USING (api_key)
+        """,
+        "incremental_agg": f"""
+            WITH c AS ({cl}),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY seq DESC) AS rn
+                  FROM c),
+            f AS (SELECT doc_id,
+                         'g' || (CAST(doc_id AS BIGINT) % 7) AS grp,
+                         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                             AS v_c
+                  FROM r WHERE rn = 1 AND op <> 'd')
+            SELECT grp, count(*) AS n_rows, sum(v_c) AS v_c
+            FROM f GROUP BY grp
+        """,
     }
+    # algorithm equivalence: the star variant answers to the SAME oracle
+    out["near_dup_star"] = out["near_dup_components"]
+    return out
