@@ -12,6 +12,7 @@ from jitsu_spark.operators.geo_ua import (
 from jitsu_spark.operators.routing import route_to_tables, table_name_expr
 from jitsu_spark.operators.salting import salted_agg, salted_lww
 from jitsu_spark.operators.transform import (
+    replay_dead_letters,
     split_dead_letter,
     transform_events,
     transform_events_vectorized,
@@ -33,6 +34,7 @@ __all__ = [
     "table_name_expr",
     "salted_agg",
     "salted_lww",
+    "replay_dead_letters",
     "split_dead_letter",
     "transform_events",
     "transform_events_vectorized",

@@ -43,6 +43,18 @@ ERROR_COL = "_error"
 RAW_COL = "_raw"
 
 
+def _json_default(o):
+    """Lossless-enough JSON for the _raw dead-letter payload: numpy
+    scalars/arrays to native lists (str() would stringify token arrays,
+    making them unrecoverable), datetimes to ISO strings that
+    ``from_json`` parses back."""
+    if hasattr(o, "tolist"):
+        return o.tolist()
+    if hasattr(o, "isoformat"):
+        return o.isoformat()
+    return str(o)
+
+
 def _full_schema(out_schema: T.StructType) -> T.StructType:
     names = {f.name for f in out_schema.fields}
     if {ERROR_COL, RAW_COL} & names:
@@ -91,7 +103,7 @@ def transform_events(
                 except Exception:
                     dead = {c: None for c in out_names}
                     dead[ERROR_COL] = traceback.format_exc(limit=5)
-                    dead[RAW_COL] = json.dumps(rec, default=str, sort_keys=True)
+                    dead[RAW_COL] = json.dumps(rec, default=_json_default, sort_keys=True)
                     rows.append(dead)
                     continue
                 if res is None:
@@ -139,7 +151,7 @@ def transform_events_vectorized(
                         **{c: [None] * len(pdf) for c in out_names},
                         ERROR_COL: [err] * len(pdf),
                         RAW_COL: [
-                            json.dumps(r, default=str, sort_keys=True)
+                            json.dumps(r, default=_json_default, sort_keys=True)
                             for r in pdf.to_dict(orient="records")
                         ],
                     },
@@ -170,3 +182,28 @@ def split_dead_letter(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     good = df.filter(F.col(ERROR_COL).isNull()).drop(ERROR_COL, RAW_COL)
     dead = df.filter(F.col(ERROR_COL).isNotNull())
     return good, dead
+
+
+def replay_dead_letters(
+    spark,
+    dead_letter_dir: str,
+    input_schema: T.StructType,
+    fn: Callable[[dict], None | dict | list[dict]] | None = None,
+    output_schema: T.StructType | None = None,
+) -> DataFrame:
+    """Reconstruct the original events from a CdcStreamJob dead-letter dir
+    (the ``_raw`` input JSON captured at failure time) and optionally
+    re-run them through a FIXED transform — the engine's analog of the
+    reference replaying fallback files back through the pipeline
+    (SURVEY.md W11). Without ``fn`` returns the recovered input events;
+    with ``fn`` returns the combined transform surface (split it with
+    :func:`split_dead_letter` — still-failing events dead-letter again)."""
+    raw = spark.read.option("recursiveFileLookup", "true").parquet(
+        dead_letter_dir
+    )
+    events = raw.select(
+        F.from_json(F.col(RAW_COL), input_schema).alias("_e")
+    ).select("_e.*")
+    if fn is None:
+        return events
+    return transform_events(events, fn, output_schema or input_schema)

@@ -67,3 +67,90 @@ def test_any_op_sequence_matches_dict_oracle(
     }
     want = {k: v["tokens"] for k, v in expected.items()}
     assert got == want
+
+
+_ivm_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["i", "u", "d"]),
+        st.integers(min_value=0, max_value=5),   # doc index
+        st.integers(min_value=0, max_value=3),   # group index (moves likely)
+        st.integers(min_value=0, max_value=50),  # summed payload
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ivm_ops, n_batches=st.integers(min_value=1, max_value=3))
+def test_sync_aggregate_any_op_sequence_matches_recompute(
+    spark, tmp_path_factory, ops, n_batches
+):
+    """Property: for ANY op sequence (including group-moving updates,
+    deletes, re-inserts) applied in ANY batch split with a sync after
+    every batch, the incrementally-maintained aggregate equals a full
+    recompute of the final upstream state."""
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake.mirror import sync_aggregate
+
+    up_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    agg_schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    rows = [
+        {
+            "seq": i,
+            "op": op,
+            "doc_id": f"doc{d}",
+            "grp": None if op == "d" else f"g{g}",
+            "v": None if op == "d" else v,
+        }
+        for i, (op, d, g, v) in enumerate(ops)
+    ]
+    root = str(tmp_path_factory.mktemp("ivm"))
+    up = LakeTable.create(
+        spark, os.path.join(root, "up"), up_schema, "doc_id",
+        n_buckets=4, properties={"write.mode": "mor"},
+    )
+    agg = LakeTable.create(
+        spark, os.path.join(root, "agg"), agg_schema, "grp", n_buckets=2
+    )
+    env_schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+        + list(up_schema.fields)
+    )
+    per = len(rows) // n_batches + 1
+    for b in range(n_batches):
+        part = rows[b * per: (b + 1) * per]
+        if not part:
+            continue
+        merge_batch(
+            up, spark.createDataFrame(part, env_schema), batch_id=b,
+            job_id="ivm-prop",
+        )
+        sync_aggregate(up, agg, "grp", sum_cols=["v"], job_id="ivm-prop-agg")
+
+    expected = {}
+    for r in up.read().collect():
+        n, s = expected.get(r["grp"], (0, 0))
+        expected[r["grp"]] = (n + 1, s + r["v"])
+    got = {r["grp"]: (r["n_rows"], r["v"]) for r in agg.read().collect()}
+    assert got == expected

@@ -209,3 +209,24 @@ def test_geo_lookup_broadcasts_and_ua_parse_stays_codegen(spark):
     assert "codegen id" in uplan
     assert "Exchange" not in uplan
     assert "BatchEvalPython" not in uplan and "ArrowEvalPython" not in uplan
+
+
+def test_token_multiplex_broadcasts_dim_never_shuffles_events(spark):
+    """F4 fan-out must be a broadcast join of the tiny (token, destination)
+    dim — the event stream side must not hash-shuffle."""
+    from pyspark.sql import functions as F
+
+    from jitsu_spark.streaming.multiroute import multiplex_by_token
+
+    events = spark.range(10_000).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 3).cast("string")).alias("api_key"),
+    )
+    routed = multiplex_by_token(
+        events, {"tok0": ["d_a"], "tok1": ["d_a", "d_b"]}
+    )
+    plan = plan_of(routed)
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "Exchange hashpartitioning" not in tree, tree

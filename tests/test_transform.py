@@ -159,3 +159,49 @@ def test_cdc_stream_with_event_fn_exactly_once(spark, tmpdir_path):
     assert state2 == state
     dead2 = spark.read.parquet(dlq).collect()
     assert len(dead2) == 1
+
+
+def test_replay_dead_letters_recovers_and_reprocesses(spark, tmpdir_path):
+    """Poisoned events recovered from the DLQ re-enter the pipeline under a
+    FIXED transform; events the fix still rejects dead-letter again."""
+    from jitsu_spark.operators.transform import replay_dead_letters
+
+    def broken(e):
+        if e["doc_id"].startswith("d-bad"):
+            raise ValueError("cannot handle")
+        return e
+
+    rows = [ev(0, "d-ok", [1]), ev(1, "d-bad1", [2]), ev(2, "d-bad2", [3])]
+    src = os.path.join(tmpdir_path, "log")
+    _events_df(spark, rows).coalesce(1).write.parquet(src)
+
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), TARGET_SCHEMA, "doc_id",
+        n_buckets=4,
+    )
+    dlq = os.path.join(tmpdir_path, "dlq")
+    CdcStreamJob(
+        table=table, source_dir=src,
+        checkpoint_dir=os.path.join(tmpdir_path, "ckpt"),
+        source_schema=CHANGELOG_SCHEMA, job_id="t-dlq",
+        event_fn=broken, dead_letter_dir=dlq,
+    ).run_available_now(spark)
+    assert {r["doc_id"] for r in table.read().collect()} == {"d-ok"}
+
+    # recover the raw inputs losslessly
+    recovered = replay_dead_letters(spark, dlq, CHANGELOG_SCHEMA)
+    got = {r["doc_id"]: r for r in recovered.collect()}
+    assert set(got) == {"d-bad1", "d-bad2"}
+    assert got["d-bad1"]["tokens"] == [2] and got["d-bad1"]["seq"] == 1
+    assert got["d-bad2"]["ts"] == TS      # timestamp survives the round trip
+
+    # re-run under a fix that still rejects d-bad2
+    def fixed(e):
+        if e["doc_id"] == "d-bad2":
+            raise ValueError("still broken")
+        return e
+
+    combined = replay_dead_letters(spark, dlq, CHANGELOG_SCHEMA, fn=fixed)
+    good, dead = split_dead_letter(combined)
+    assert {r["doc_id"] for r in good.collect()} == {"d-bad1"}
+    assert dead.count() == 1
