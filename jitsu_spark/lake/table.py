@@ -467,5 +467,51 @@ class LakeTable:
         self._commit(new_snap)
         return CommitResult(version=new_snap.version)
 
+    def rebucket(self, factor: int = 2) -> CommitResult:
+        """Bucket-count evolution: grow the hash-bucket count by an integer
+        ``factor`` (admin op for table growth — a table created at 16
+        buckets for 10^8 rows needs more at 10^10, or per-bucket files
+        outgrow executor memory and merge parallelism caps at n_buckets).
+
+        Because bucketing is ``pmod(xxhash64(key), n)`` and
+        ``new_n = factor * n``, every old bucket b's rows land ONLY in the
+        factor new buckets {b, b+n, ..., b+(factor-1)n} — the rewrite is a
+        narrow per-task split (``partitionBy`` at write), never a global
+        shuffle. The commit manifest carries over, so exactly-once
+        continuity is preserved across the resize; subsequent merges hash
+        against the new count automatically (bucket_expr reads the
+        snapshot). MoR deltas are folded into base during the rewrite.
+
+        Like compaction, a rebucket breaks ``changes()`` ranges that cross
+        it — sync downstream consumers first (consume-before-compact
+        applies to resizes too)."""
+        if factor < 2:
+            raise ValueError("factor must be >= 2")
+        snap = self.snapshot()
+        new_n = snap.n_buckets * factor
+        key = snap.key_field
+        df = self.read(snap=snap).withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(F.col(key)), F.lit(new_n)).cast("int"),
+        )
+        new_files = self._write_files(df)
+        entries = self.build_entries(new_files, snap.current_schema_id, snap)
+        new_snap = Snapshot(
+            version=snap.version + 1,
+            key_field=key,
+            n_buckets=new_n,
+            schema_json=snap.schema_json,
+            schemas=snap.schemas,
+            current_schema_id=snap.current_schema_id,
+            files=entries,
+            committed=snap.committed,
+            lineage=snap.lineage
+            + [{"kind": "rebucket", "from": snap.n_buckets, "to": new_n}],
+            properties=snap.properties,
+            parent=snap.version,
+        )
+        self._commit(new_snap)
+        return CommitResult(version=new_snap.version)
+
     def history(self) -> list[dict]:
         return list(self.snapshot().lineage)

@@ -198,3 +198,63 @@ def test_hint_repair_never_regresses_newer_hint(spark, tmpdir_path):
         p for p in os.listdir(os.path.join(t.root, "metadata"))
         if ".tmp." in p
     ]
+
+
+def test_rebucket_grows_bucket_count_preserving_state(spark, tmpdir_path):
+    """Bucket-count evolution: state identical before/after, new merges
+    hash against the grown count and prune correctly, exactly-once
+    manifest carries over, and changes() ranges crossing the resize raise
+    (consume-before-resize, like compaction)."""
+    import pytest
+
+    from jitsu_spark.lake import LakeTable
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "rb"), TARGET_SCHEMA, "doc_id",
+        n_buckets=4, properties={"write.mode": "mor"},
+    )
+    merge_batch(
+        t, batch(spark, [ev(i, "i", f"doc{i}", [i]) for i in range(40)]),
+        batch_id=0,
+    )
+    merge_batch(t, batch(spark, [ev(100, "u", "doc0", [99])]), batch_id=1)
+    before = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    v = t.snapshot().version
+
+    res = t.rebucket(factor=4)
+    assert res.version == v + 1
+    snap = t.snapshot()
+    assert snap.n_buckets == 16
+    # every file entry is base (deltas folded) and in a valid new bucket
+    assert all(
+        e.get("kind", "base") == "base"
+        for es in snap.files.values() for e in es
+    )
+    assert set(map(int, snap.files)) <= set(range(16))
+    assert {r["doc_id"]: r["tokens"] for r in t.read().collect()} == before
+
+    # bucket invariant: a single-bucket read returns exactly the keys that
+    # hash there under the NEW count
+    got_b = {r["doc_id"] for r in t.read(buckets=[3]).collect()}
+    expect_b = {
+        r["doc_id"]
+        for r in t.read().withColumn(
+            "_b", t.bucket_expr(F.col("doc_id"))
+        ).filter("_b = 3").collect()
+    }
+    assert got_b == expect_b
+
+    # exactly-once continuity: the pre-resize batch id still skips
+    r = merge_batch(t, batch(spark, [ev(999, "u", "doc1", [1])]), batch_id=1)
+    assert r.skipped
+    # and new merges against the grown layout work + state stays exact
+    merge_batch(t, batch(spark, [ev(200, "u", "doc5", [55])]), batch_id=2)
+    after = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert after["doc5"] == [55] and after["doc0"] == [99]
+
+    # changes() across the resize is not reconstructible
+    with pytest.raises(ValueError, match="rebucket|not a delta merge"):
+        t.changes(since_version=v - 1)
+    # fresh post-resize ranges work again
+    got = {r["doc_id"] for r in t.changes(since_version=res.version).collect()}
+    assert got == {"doc5"}

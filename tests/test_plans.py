@@ -230,3 +230,31 @@ def test_token_multiplex_broadcasts_dim_never_shuffles_events(spark):
     assert "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
     assert "Exchange hashpartitioning" not in tree, tree
+
+
+def test_rebucket_rewrite_plan_has_no_shuffle(spark, tmpdir_path):
+    """The resize rewrite must be a narrow per-task split: modulo-doubling
+    sends old bucket b's rows only to {b, b+n, ...}, so the plan carries
+    no Exchange (a global repartition at 100 TB would be the bottleneck)."""
+    from pyspark.sql import functions as F
+
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+    from jitsu_spark.lake.table import BUCKET_COL
+    from tests.test_merge import TARGET_SCHEMA, batch, ev
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TARGET_SCHEMA, "doc_id",
+        n_buckets=4,
+    )
+    merge_batch(
+        t, batch(spark, [ev(i, "i", f"doc{i}", [i]) for i in range(20)]),
+        batch_id=0,
+    )
+    snap = t.snapshot()
+    df = t.read(snap=snap).withColumn(
+        BUCKET_COL,
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(snap.n_buckets * 2)).cast("int"),
+    )
+    plan = plan_of(df).split("\n\n")[0]
+    assert "Exchange" not in plan, plan
