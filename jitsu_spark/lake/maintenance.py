@@ -154,7 +154,8 @@ def overwrite_where(
         files=files,
         committed=committed,
         lineage=snap.lineage
-        + [{"kind": "overwrite_where", "job_id": job_id, "chunk_id": chunk_id,
+        + [{"version": snap.version + 1,
+            "kind": "overwrite_where", "job_id": job_id, "chunk_id": chunk_id,
             "n_inserted": n_inserted}],
         properties=snap.properties,
         parent=snap.version,
@@ -198,3 +199,144 @@ def vacuum(
         if dirpath != data_root and not dirnames and not filenames:
             os.rmdir(dirpath)
     return deleted
+
+
+@dataclass
+class ManifestCompactResult:
+    version: int
+    skipped: bool = False
+    committed_before: int = 0
+    committed_after: int = 0
+    lineage_archived: int = 0
+
+
+def compact_manifest(
+    table: LakeTable,
+    keep_lineage: int = 200,
+    keep_recent_batches: int = 50,
+) -> ManifestCompactResult:
+    """Bound snapshot-metadata growth — the silent O(stream-age) cost of a
+    long-lived CDC table.
+
+    Every merge appends one ``job/batch`` manifest entry and one lineage
+    record to the snapshot, and every commit rewrites the whole snapshot
+    JSON: after 10^6 micro-batches each commit is rewriting megabytes of
+    history, forever. This op:
+
+    1. **Folds contiguous integer batch-id prefixes per job into a
+       high-watermark marker** ``job/<=N`` (streaming epoch ids ARE
+       contiguous from 0). Exactly-once is preserved: ``is_committed``
+       treats the marker as membership for every id ≤ N, and the fold
+       only covers a PROVEN contiguous prefix — a gap stops it, so an
+       undelivered id can never be wrongly skipped. The most recent
+       ``keep_recent_batches`` ids stay explicit for debuggability.
+    2. **Archives lineage older than ``keep_lineage`` entries** to
+       ``metadata/lineage-archive.jsonl`` (append-only; ``history()``
+       still returns the full record). ``changes()`` ranges that reach
+       into archived lineage raise — sync downstream consumers first,
+       the same consume-before-compact contract as data compaction.
+    """
+    snap = table.snapshot()
+    passthrough: list[str] = []
+    per_job: dict[str, set[int]] = {}
+    markers: dict[str, int] = {}
+    for c in snap.committed:
+        job, sep, bid = c.rpartition("/")
+        if not sep:
+            passthrough.append(c)
+            continue
+        if bid.startswith("<="):
+            try:
+                markers[job] = max(markers.get(job, -1), int(bid[2:]))
+                continue
+            except ValueError:
+                passthrough.append(c)
+                continue
+        try:
+            per_job.setdefault(job, set()).add(int(bid))
+        except ValueError:
+            passthrough.append(c)
+    new_committed = list(passthrough)
+    for job, ids in sorted(per_job.items()):
+        hwm = markers.pop(job, -1)
+        n = hwm
+        while (n + 1) in ids:
+            n += 1
+        marker_hwm = max(n - keep_recent_batches, hwm)
+        if marker_hwm >= 0:
+            new_committed.append(f"{job}/<={marker_hwm}")
+        new_committed.extend(
+            f"{job}/{i}" for i in sorted(ids) if i > marker_hwm
+        )
+    # markers for jobs with no remaining explicit ids survive as-is
+    new_committed.extend(f"{job}/<={n}" for job, n in sorted(markers.items()))
+
+    n_archive = max(0, len(snap.lineage) - keep_lineage)
+    archived = snap.lineage[:n_archive]
+    kept = snap.lineage[n_archive:]
+    if archived:
+        import json as _json
+
+        with open(_archive_path(table), "a") as f:
+            for e in archived:
+                f.write(_json.dumps(e) + "\n")
+
+    if len(new_committed) == len(snap.committed) and not archived:
+        return ManifestCompactResult(
+            version=snap.version, skipped=True,
+            committed_before=len(snap.committed),
+            committed_after=len(snap.committed),
+        )
+    new_snap = Snapshot(
+        version=snap.version + 1,
+        key_field=snap.key_field,
+        n_buckets=snap.n_buckets,
+        schema_json=snap.schema_json,
+        schemas=snap.schemas,
+        current_schema_id=snap.current_schema_id,
+        files=snap.files,
+        committed=new_committed,
+        lineage=kept
+        + [{"version": snap.version + 1, "kind": "manifest_compact",
+            "archived": len(archived),
+            "committed_folded": len(snap.committed) - len(new_committed)}],
+        properties=snap.properties,
+        parent=snap.version,
+    )
+    md.commit_snapshot(table.root, new_snap)
+    return ManifestCompactResult(
+        version=new_snap.version,
+        committed_before=len(snap.committed),
+        committed_after=len(new_committed),
+        lineage_archived=len(archived),
+    )
+
+
+def _archive_path(table: LakeTable) -> str:
+    return os.path.join(table.root, "metadata", "lineage-archive.jsonl")
+
+
+def full_history(table: LakeTable) -> list[dict]:
+    """Complete lineage: archived entries (de-duplicated by version —
+    a crashed compaction may append twice) + the snapshot's live tail."""
+    import json as _json
+
+    out: list[dict] = []
+    seen: set[int] = set()
+    path = _archive_path(table)
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                e = _json.loads(line)
+                v = e.get("version")
+                if v is None or v not in seen:
+                    out.append(e)
+                    if v is not None:
+                        seen.add(v)
+    for e in table.snapshot().lineage:
+        v = e.get("version")
+        if v is None or v not in seen:
+            out.append(e)
+            if v is not None:
+                seen.add(v)
+    return out

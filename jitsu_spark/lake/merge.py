@@ -117,6 +117,34 @@ def _commit_key(job_id: str, batch_id) -> str:
     return f"{job_id}/{batch_id}"
 
 
+def is_committed(snap, job_id: str, batch_id) -> bool:
+    """Exactly-once membership check against the commit manifest.
+
+    Besides explicit ``job_id/batch_id`` entries, understands the
+    high-watermark markers ``job_id/<=N`` written by
+    ``maintenance.compact_manifest`` — a marker covers every INTEGER
+    batch id ≤ N (streaming epoch ids are contiguous from 0, which is
+    exactly the contiguity the compactor proves before writing one).
+    Without compaction the manifest grows one entry per batch forever —
+    at 10^6 micro-batches the snapshot JSON rewrite becomes O(stream
+    age) per commit."""
+    if _commit_key(job_id, batch_id) in snap.committed:
+        return True
+    try:
+        bid = int(batch_id)
+    except (TypeError, ValueError):
+        return False
+    prefix = f"{job_id}/<="
+    for c in snap.committed:
+        if c.startswith(prefix):
+            try:
+                if bid <= int(c[len(prefix):]):
+                    return True
+            except ValueError:
+                continue
+    return False
+
+
 def _merge_once(
     table: LakeTable,
     batch_df: DataFrame,
@@ -129,7 +157,7 @@ def _merge_once(
     t0 = time.time()
     snap = table.snapshot()
     key = snap.key_field
-    if batch_id is not None and _commit_key(job_id, batch_id) in snap.committed:
+    if batch_id is not None and is_committed(snap, job_id, batch_id):
         return MergeResult(version=snap.version, skipped=True)
 
     payload_fields = [
@@ -258,6 +286,7 @@ def _merge_once(
         committed.append(_commit_key(job_id, batch_id))
     lineage = snap.lineage + [
         {
+            "version": snap.version + 1,
             "kind": "merge",
             "job_id": job_id,
             "batch_id": batch_id,
@@ -309,7 +338,7 @@ def append_batch(
     means in the reference (factory.go:238-244 semantics)."""
     t0 = time.time()
     snap = table.snapshot()
-    if batch_id is not None and _commit_key(job_id, batch_id) in snap.committed:
+    if batch_id is not None and is_committed(snap, job_id, batch_id):
         return MergeResult(version=snap.version, skipped=True)
     key = snap.key_field
     plan = plan_evolution(
@@ -344,7 +373,8 @@ def append_batch(
         files=files,
         committed=committed,
         lineage=snap.lineage
-        + [{"kind": "append", "job_id": job_id, "batch_id": batch_id}],
+        + [{"version": snap.version + 1, "kind": "append",
+            "job_id": job_id, "batch_id": batch_id}],
         properties=snap.properties,
         parent=snap.version,
     )

@@ -269,10 +269,25 @@ class LakeTable:
                 "changes() needs write.mode=mor (CoW merges rewrite whole "
                 "buckets; row-level changes are not reconstructible)"
             )
-        # lineage entry i records commit (i+1); verify every in-range
-        # commit is a MoR delta merge
+        # verify every in-range commit is a MoR delta merge. Entries are
+        # matched by their stamped "version"; positional lookup remains as
+        # the fallback for pre-stamp tables (full, untruncated lineage
+        # only — after compact_manifest archives old entries, position no
+        # longer encodes the version).
+        by_version = {
+            e["version"]: e for e in snap.lineage if "version" in e
+        }
+        full_positional = len(snap.lineage) == snap.version
         for v in range(since_version + 1, hi + 1):
-            entry = snap.lineage[v - 1] if v - 1 < len(snap.lineage) else {}
+            entry = by_version.get(v)
+            if entry is None and full_positional and v - 1 < len(snap.lineage):
+                entry = snap.lineage[v - 1]
+            if entry is None:
+                raise ValueError(
+                    f"changes({since_version}, {hi}): lineage for commit "
+                    f"{v} is archived (manifest compaction) — sync "
+                    "downstream consumers before compact_manifest"
+                )
             if entry.get("kind") != "merge":
                 raise ValueError(
                     f"changes({since_version}, {hi}): commit {v} is "
@@ -460,7 +475,9 @@ class LakeTable:
             current_schema_id=snap.current_schema_id,
             files=files,
             committed=snap.committed,
-            lineage=snap.lineage + [{"kind": "compact", "buckets": frag}],
+            lineage=snap.lineage
+            + [{"version": snap.version + 1, "kind": "compact",
+                "buckets": frag}],
             properties=snap.properties,
             parent=snap.version,
         )
@@ -506,7 +523,8 @@ class LakeTable:
             files=entries,
             committed=snap.committed,
             lineage=snap.lineage
-            + [{"kind": "rebucket", "from": snap.n_buckets, "to": new_n}],
+            + [{"version": snap.version + 1, "kind": "rebucket",
+                "from": snap.n_buckets, "to": new_n}],
             properties=snap.properties,
             parent=snap.version,
         )

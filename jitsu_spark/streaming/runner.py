@@ -126,6 +126,13 @@ class CdcStreamJob:
                 self.table.compact(
                     max_files_per_bucket=self.compact_max_files_per_bucket
                 )
+                # same cadence bounds METADATA growth: fold contiguous
+                # batch ids to a watermark + archive old lineage (runs
+                # after post_commit syncs, so changes() consumers are
+                # already past the range being archived)
+                from jitsu_spark.lake.maintenance import compact_manifest
+
+                compact_manifest(self.table)
 
     def run_available_now(self, spark: SparkSession, timeout_s: int = 600) -> list[MergeResult]:
         """Replay the current backlog to completion and stop (the batch

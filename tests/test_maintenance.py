@@ -258,3 +258,92 @@ def test_rebucket_grows_bucket_count_preserving_state(spark, tmpdir_path):
     # fresh post-resize ranges work again
     got = {r["doc_id"] for r in t.changes(since_version=res.version).collect()}
     assert got == {"doc5"}
+
+
+def test_compact_manifest_bounds_metadata_growth(spark, tmpdir_path):
+    """Contiguous integer batch ids fold to a high-watermark marker with
+    exactly-once preserved (replays of folded AND explicit ids skip; a
+    GAP in the ids is never covered); lineage archives beyond the keep
+    window with full_history() still complete; changes() into archived
+    lineage raises."""
+    import pytest
+
+    from jitsu_spark.lake.maintenance import compact_manifest, full_history
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "cm"), TARGET_SCHEMA, "doc_id",
+        n_buckets=4, properties={"write.mode": "mor"},
+    )
+    # 12 contiguous batches 0..11, plus one out-of-band string chunk id
+    for b in range(12):
+        merge_batch(t, batch(spark, [ev(b, "i" if b == 0 else "u", "a", [b])]),
+                    batch_id=b, job_id="s")
+    merge_batch(t, batch(spark, [ev(100, "i", "z", [1])]),
+                batch_id="chunk-x", job_id="resync")
+    before_rows = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+
+    res = compact_manifest(t, keep_lineage=5, keep_recent_batches=3)
+    assert not res.skipped
+    snap = t.snapshot()
+    assert "s/<=8" in snap.committed                 # 11 - 3
+    assert "s/9" in snap.committed and "s/11" in snap.committed
+    assert "s/0" not in snap.committed               # folded
+    assert "resync/chunk-x" in snap.committed        # strings untouched
+    assert res.committed_after < res.committed_before
+    assert len(snap.lineage) <= 5 + 1                # tail + compact entry
+
+    # exactly-once across the fold: folded id, explicit id, string id
+    assert merge_batch(t, batch(spark, [ev(999, "u", "a", [0])]),
+                       batch_id=2, job_id="s").skipped
+    assert merge_batch(t, batch(spark, [ev(999, "u", "a", [0])]),
+                       batch_id=10, job_id="s").skipped
+    assert merge_batch(t, batch(spark, [ev(999, "u", "z", [0])]),
+                       batch_id="chunk-x", job_id="resync").skipped
+    assert {r["doc_id"]: r["tokens"] for r in t.read().collect()} == before_rows
+
+    # a NEW batch id beyond the watermark still applies
+    merge_batch(t, batch(spark, [ev(200, "u", "a", [42])]),
+                batch_id=12, job_id="s")
+    assert t.read().filter("doc_id = 'a'").collect()[0]["tokens"] == [42]
+
+    # full_history is complete and ordered despite archiving
+    hist = full_history(t)
+    versions = [e["version"] for e in hist if "version" in e]
+    assert versions == sorted(versions)
+    assert len(hist) >= 14
+
+    # changes() into the archived range raises; fresh range works
+    with pytest.raises(ValueError, match="archived"):
+        t.changes(since_version=1)
+    v = t.snapshot().version
+    merge_batch(t, batch(spark, [ev(300, "u", "a", [7])]),
+                batch_id=13, job_id="s")
+    got = {r["doc_id"] for r in t.changes(since_version=v).collect()}
+    assert got == {"a"}
+
+
+def test_compact_manifest_never_covers_gaps(spark, tmpdir_path):
+    """A missing batch id stops the fold: ids {0,1,2,5,6} fold only <=2
+    (minus the recent tail), so a late delivery of 3 or 4 still applies."""
+    from jitsu_spark.lake.maintenance import compact_manifest
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "gap"), TARGET_SCHEMA, "doc_id",
+        n_buckets=4,
+    )
+    for b in [0, 1, 2, 5, 6]:
+        merge_batch(t, batch(spark, [ev(b, "i", f"d{b}", [b])]),
+                    batch_id=b, job_id="g")
+    compact_manifest(t, keep_recent_batches=0)
+    snap = t.snapshot()
+    assert "g/<=2" in snap.committed
+    assert "g/5" in snap.committed and "g/6" in snap.committed
+    # the gap ids were never covered: they still apply
+    r = merge_batch(t, batch(spark, [ev(3, "i", "d3", [3])]),
+                    batch_id=3, job_id="g")
+    assert not r.skipped
+    assert "d3" in {x["doc_id"] for x in t.read().collect()}
+    # idempotent second compaction is a no-op... after the new commit it
+    # may fold again; just assert correctness of membership
+    assert merge_batch(t, batch(spark, [ev(9, "u", "d0", [0])]),
+                       batch_id=0, job_id="g").skipped
