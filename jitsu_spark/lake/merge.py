@@ -168,28 +168,64 @@ def _merge_once(
     payload_schema = T.StructType(payload_fields)
     others = [f.name for f in payload_fields if f.name != key]
 
-    # 1. Cheap stats pass: keys/seq/op columns only (tokens pruned at the
-    # scan), partial combine collapses to <= n_buckets rows before the
-    # shuffle. Gives affected buckets + batch size + seq range; the heavy
-    # LWW reduce happens exactly once, inside the write job below.
-    stats = (
-        batch_df.groupBy(table.bucket_expr(F.col(key)).alias(BUCKET_COL))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum((F.col(op_col) == OP_DELETE).cast("long")).alias("nd"),
-            F.min(seq_col).alias("smin"),
-            F.max(seq_col).alias("smax"),
+    mode = snap.properties.get(WRITE_MODE_PROP, "cow")
+
+    # 1. Batch stats. CoW needs them BEFORE the write (affected buckets
+    # drive the pruned existing-bucket read and the join-strategy choice),
+    # so it pays a cheap pre-pass: keys/seq/op columns only (tokens pruned
+    # at the scan), partial combine collapses to <= n_buckets rows. MoR
+    # needs nothing ahead of the write — affected buckets fall out of the
+    # written files and the batch metrics ride the write job itself as
+    # observed metrics — so the steady-state (MoR) path runs ONE Spark
+    # job per batch, not two (~20% of per-batch wall measured at 500k
+    # events).
+    if mode != "mor":
+        stats = (
+            batch_df.groupBy(table.bucket_expr(F.col(key)).alias(BUCKET_COL))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col(op_col) == OP_DELETE).cast("long")).alias("nd"),
+                F.min(seq_col).alias("smin"),
+                F.max(seq_col).alias("smax"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    # n_events counts raw batch rows (pre-LWW upper bound on distinct keys;
-    # used for lineage and the join-strategy choice); n_deletes counts
-    # delete envelopes in the batch, not LWW-winning deletes.
-    n_keys = sum(r["n"] for r in stats)
-    n_deletes = sum(r["nd"] for r in stats)
-    affected = sorted(int(r[BUCKET_COL]) for r in stats)
-    seq_min = min((r["smin"] for r in stats), default=None)
-    seq_max = max((r["smax"] for r in stats), default=None)
+        # n_events counts raw batch rows (pre-LWW upper bound on distinct
+        # keys; used for lineage and the join-strategy choice); n_deletes
+        # counts delete envelopes, not LWW-winning deletes.
+        n_keys = sum(r["n"] for r in stats)
+        n_deletes = sum(r["nd"] for r in stats)
+        affected = sorted(int(r[BUCKET_COL]) for r in stats)
+        seq_min = min((r["smin"] for r in stats), default=None)
+        seq_max = max((r["smax"] for r in stats), default=None)
+        observation = None
+    else:
+        from pyspark.sql import Observation
+
+        # the empty probe runs on the RAW frame, before observe is
+        # attached — an action on the observed frame (even limit-1)
+        # would publish PARTIAL metrics and poison observation.get.
+        # For the non-empty case the observe node sits on a straight
+        # scan->aggregate->write plan whose only action is the write, so
+        # AQE's empty-relation pruning (which silently eats
+        # CollectMetrics on emptied branches) cannot bite
+        mor_empty = batch_df.isEmpty()
+        observation = None
+        if not mor_empty:
+            observation = Observation()
+            batch_df = batch_df.observe(
+                observation,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum((F.col(op_col) == OP_DELETE).cast("long")),
+                    F.lit(0),
+                ).alias("nd"),
+                F.min(seq_col).alias("smin"),
+                F.max(seq_col).alias("smax"),
+            )
+        n_keys = n_deletes = 0
+        seq_min = seq_max = None
+        affected = []
 
     # 2. LWW reduce (partial-combine aggregate — see module docstring).
     # Deliberately NOT persisted: its two consumers (anti-join keys and
@@ -214,24 +250,31 @@ def _merge_once(
     )
     target = plan.target
 
-    mode = snap.properties.get(WRITE_MODE_PROP, "cow")
     new_files: dict[str, list[str]] = {}
-    if n_keys > 0 and mode == "mor":
+    if mode == "mor" and not mor_empty:
         # 4-MoR. Append-only delta write: the LWW'd batch (tombstones
         # included, op persisted) lands as one delta file per affected
         # bucket — O(batch) work regardless of table size; readers
         # reconcile by commit sequence (LakeTable.read). The write-vs-read
         # amplification trade is bounded by compaction (compact()).
+        # repartition(n_buckets) instead of len(affected): empty bucket
+        # partitions write no files, so the layout is identical and no
+        # pre-pass is needed to size the shuffle.
         delta = (
             upd.select(
                 *alignment_columns(upd, target),
                 F.col("_op").alias(MOR_OP_COL),
             )
             .withColumn(BUCKET_COL, table.bucket_expr(F.col(key)))
-            .repartition(max(len(affected), 1), F.col(BUCKET_COL))
+            .repartition(snap.n_buckets, F.col(BUCKET_COL))
         )
         new_files = table._write_files(delta)
-    elif n_keys > 0:
+        got = observation.get
+        n_keys = got["n"]
+        n_deletes = got["nd"]
+        seq_min, seq_max = got["smin"], got["smax"]
+        affected = sorted(int(b) for b in new_files)
+    elif mode != "mor" and n_keys > 0:
         # 4. CoW rewrite of affected buckets.
         existing = table.read(buckets=affected, snap=snap)
         existing = existing.select(*alignment_columns(existing, target))
