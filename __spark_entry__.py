@@ -789,6 +789,53 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.read().select("grp", "n_rows", "v_c")
 
 
+def q_cdc_replay_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count evolution under the gate: replay half the log, grow
+    the bucket count 4x mid-stream (shuffle-free modulo-doubling rewrite),
+    replay the rest — the final state must be invariant under the resize,
+    so the oracle is the plain LWW final-state SQL."""
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+
+    log = _changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, _scratch("rebucket"), schema, "doc_id", n_buckets=4,
+        properties={"write.mode": "mor"},
+    )
+    hi = log.agg(F.max("seq")).collect()[0][0] or 0
+    mid = hi // 2
+    merge_batch(table, log.filter(F.col("seq") <= mid), batch_id=0,
+                job_id="rb")
+    table.rebucket(factor=4)
+    merge_batch(table, log.filter(F.col("seq") > mid), batch_id=1,
+                job_id="rb")
+    return table.read().select("doc_id", "ts", "value")
+
+
+def q_lsh_bucket_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degenerate-bucket guard's exact inventory: band-bucket count,
+    max bucket size, and what a max_bucket_size=8 cap would skip — all
+    recomputable in pure SQL from the md5 band scheme."""
+    from jitsu_spark.dedup.minhash import lsh_bucket_stats
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = lsh_bucket_stats(
+        d, "doc_id", "text", k=8, bands=4, shingle_n=3, max_bucket_size=8
+    )
+    return spark.createDataFrame(
+        [stats],
+        "n_buckets long, max_bucket long, skipped_buckets long, "
+        "rows_in_skipped_buckets long",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_cdc_replay_final_state(spark, "/root/testdata/sf0.001")
@@ -834,6 +881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_fanout": q_transform_fanout,
         "token_multiplex": q_token_multiplex,
         "incremental_agg": q_incremental_agg,
+        "cdc_replay_rebucket": q_cdc_replay_rebucket,
+        "lsh_bucket_guard": q_lsh_bucket_guard,
     }
 
 
@@ -1524,4 +1573,47 @@ def oracle_sql() -> dict[str, str]:
     }
     # algorithm equivalence: the star variant answers to the SAME oracle
     out["near_dup_star"] = out["near_dup_components"]
+    # state invariance: a mid-replay bucket resize must not change the
+    # final LWW state, so the rebucket replay answers the SAME oracle as
+    # the plain replay
+    out["cdc_replay_rebucket"] = out["cdc_replay_final_state"]
+    out["lsh_bucket_guard"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) >= 3
+                        THEN list_distinct(list_transform(
+                                 range(1, len(tk)-1),
+                                 i -> array_to_string(tk[i:i+2], ' ')))
+                        ELSE [array_to_string(tk, ' ')] END AS s
+            FROM toks
+        ),
+        mh AS (
+            SELECT doc_id, {mins} FROM sh
+        ),
+        bands AS (
+            SELECT doc_id, 0 AS band_no, md5(m0||'|'||m1) AS bh FROM mh
+            UNION ALL SELECT doc_id, 1, md5(m2||'|'||m3) FROM mh
+            UNION ALL SELECT doc_id, 2, md5(m4||'|'||m5) FROM mh
+            UNION ALL SELECT doc_id, 3, md5(m6||'|'||m7) FROM mh
+        ),
+        sizes AS (
+            SELECT band_no, bh, count(*) AS sz
+            FROM bands GROUP BY band_no, bh
+        )
+        SELECT count(*) AS n_buckets,
+               max(sz) AS max_bucket,
+               coalesce(sum(CASE WHEN sz > 8 THEN 1 END), 0)
+                   AS skipped_buckets,
+               coalesce(sum(CASE WHEN sz > 8 THEN sz END), 0)
+                   AS rows_in_skipped_buckets
+        FROM sizes
+    """.format(
+        mins=", ".join(
+            f"list_min(list_transform(s, w -> md5('{i}#'||w))) AS m{i}"
+            for i in range(8)
+        )
+    )
     return out
