@@ -140,6 +140,21 @@ def main() -> None:
         _noop_write(fn(spark, sf_dir))
         queries[name] = round(time.time() - t0, 3)
 
+    # round-3 operators: user event-transform stage (per-event Python cost
+    # benched honestly) and token multiplex fan-out. incremental_agg stays
+    # gate-only: the synthetic changelog touches ~100% of keys per batch,
+    # so IVM's O(changed-keys) degenerates to repeated full-table
+    # pre/post-image reads there — worst-case by construction, not an
+    # engine signal (tests/test_mor asserts the bucket pruning that makes
+    # it O(changed) on localized change sets).
+    for name, fn in {
+        "transform_fanout": entry.q_transform_fanout,
+        "token_multiplex": entry.q_token_multiplex,
+    }.items():
+        t0 = time.time()
+        _noop_write(fn(spark, sf_dir))
+        queries[name] = round(time.time() - t0, 3)
+
     # sf1-equivalent section: inflate EVERY family's tables 10x (no native
     # sf1 parquet exists) and rerun one representative per family, so a
     # scale regression in any family is visible round-over-round, not just
