@@ -113,7 +113,9 @@ def sync_aggregate(
         return MirrorResult(from_version=since, to_version=since, skipped=True)
     key = src.snapshot().key_field
     ch = src.changes(since_version=since, to_version=cur)
-    changed = ch.select(key).distinct()
+    # persisted: consumed by the bucket collect AND both semi-joins —
+    # without it the changes() scan + distinct shuffle runs three times
+    changed = ch.select(key).distinct().persist()
     dirty_buckets = sorted(
         r["b"]
         for r in changed.select(src.bucket_expr(F.col(key)).alias("b"))
@@ -131,6 +133,8 @@ def sync_aggregate(
         .join(changed, on=key, how="semi")
         .select(*cols, F.lit(1).alias("_sign"))
     )
+    # persisted: one row per dirty group; consumed by the dst-bucket
+    # collect and the adjustment join
     delta = (
         post.unionByName(pre)
         .groupBy(group_col)
@@ -141,6 +145,7 @@ def sync_aggregate(
                 for c in sum_cols
             ],
         )
+        .persist()
     )
     dst_buckets = sorted(
         r["b"]
@@ -171,5 +176,9 @@ def sync_aggregate(
             "op", F.when(F.col(count_col) <= 0, F.lit("d")).otherwise(F.lit("u"))
         )
     )
-    merge_batch(dst, merged, batch_id=f"v{cur}", job_id=job_id)
+    try:
+        merge_batch(dst, merged, batch_id=f"v{cur}", job_id=job_id)
+    finally:
+        changed.unpersist()
+        delta.unpersist()
     return MirrorResult(from_version=since, to_version=cur)
