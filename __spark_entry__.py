@@ -1567,7 +1567,8 @@ def oracle_sql() -> dict[str, str]:
                          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
                              AS v_c
                   FROM r WHERE rn = 1 AND op <> 'd')
-            SELECT grp, count(*) AS n_rows, sum(v_c) AS v_c
+            SELECT grp, count(*) AS n_rows,
+                   CAST(sum(v_c) AS BIGINT) AS v_c
             FROM f GROUP BY grp
         """,
     }
@@ -1605,10 +1606,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT count(*) AS n_buckets,
                max(sz) AS max_bucket,
-               coalesce(sum(CASE WHEN sz > 8 THEN 1 END), 0)
-                   AS skipped_buckets,
-               coalesce(sum(CASE WHEN sz > 8 THEN sz END), 0)
-                   AS rows_in_skipped_buckets
+               CAST(coalesce(sum(CASE WHEN sz > 8 THEN 1 END), 0)
+                    AS BIGINT) AS skipped_buckets,
+               CAST(coalesce(sum(CASE WHEN sz > 8 THEN sz END), 0)
+                    AS BIGINT) AS rows_in_skipped_buckets
         FROM sizes
     """.format(
         mins=", ".join(

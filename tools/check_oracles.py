@@ -96,9 +96,30 @@ def gate_unsafe_cols(sdf, orel) -> dict[str, str]:
             bad[f.name] = f"spark:{t}"
     for c, t in zip(orel.columns, orel.types):
         ts = str(t).upper()
-        if ts.startswith(("DECIMAL", "STRUCT", "MAP")) or "[]" in ts:
+        # HUGEINT (DuckDB's sum(BIGINT) result) materializes as float64
+        # through the driver's pandas hasher while Spark emits int64 —
+        # the exact r3 failure mode (incremental_agg / lsh_bucket_guard).
+        if (
+            ts.startswith(("DECIMAL", "STRUCT", "MAP", "HUGEINT", "UHUGEINT"))
+            or "[]" in ts
+        ):
             bad[c] = (bad.get(c, "") + f" duckdb:{ts}").strip()
     return bad
+
+
+def pandas_rows(df) -> list[tuple]:
+    """Materialize a result exactly as the driver does: through pandas.
+
+    DuckDB fetchall() gives HUGEINT as Python int (hashes agree with
+    Spark int64) but the driver converts via .df()/toPandas() where
+    HUGEINT and nullable ints become float64 — so local agreement on
+    fetchall() does NOT imply driver agreement. This path replicates the
+    driver's materialization so it does.
+    """
+    out = []
+    for row in df.itertuples(index=False, name=None):
+        out.append(tuple(v.item() if hasattr(v, "item") else v for v in row))
+    return out
 
 
 def main() -> int:
@@ -140,7 +161,15 @@ def main() -> int:
         ohs = value_hash(orows, ocols, _norm_strict)
         ok_h = sh == oh
         ok_hs = shs == ohs
-        ok = ok_cols and ok_n and ok_h and ok_hs and not unsafe
+        # Strictness rule 3: hash BOTH sides through pandas (the driver's
+        # actual materialization path) — catches dtype drift (HUGEINT /
+        # nullable-int → float64) that fetchall()/collect() hide.
+        sprows = pandas_rows(sdf.toPandas())
+        oprows = pandas_rows(con.sql(oracles[name]).df())
+        shp = value_hash(sprows, scols, _norm_strict)
+        ohp = value_hash(oprows, ocols, _norm_strict)
+        ok_hp = shp == ohp
+        ok = ok_cols and ok_n and ok_h and ok_hs and ok_hp and not unsafe
         status = "OK " if ok else "FAIL"
         if not ok:
             failures += 1
@@ -148,15 +177,19 @@ def main() -> int:
             f"{name:28s} {status} rows={len(srows)}/{len(orows)} "
             f"cols={'=' if ok_cols else f'{scols} vs {ocols}'} "
             f"hash={'=' if ok_h else f'{sh} vs {oh}'} "
-            f"strict={'=' if ok_hs else f'{shs} vs {ohs}'}"
+            f"strict={'=' if ok_hs else f'{shs} vs {ohs}'} "
+            f"pandas={'=' if ok_hp else f'{shp} vs {ohp}'}"
             + ("" if not unsafe else f" GATE-UNSAFE-COLS={unsafe}")
         )
-        if (not ok_h or not ok_hs) and ok_cols and ok_n:
+        if (not ok_h or not ok_hs or not ok_hp) and ok_cols and ok_n:
             norm = _norm if not ok_h else _norm_strict
+            dsrows, dorows = srows, orows
+            if ok_h and ok_hs:  # only the pandas path diverged
+                dsrows, dorows = sprows, oprows
             order = sorted(range(len(scols)), key=lambda i: scols[i])
-            sset = sorted("|".join(norm(r[i]) for i in order) for r in srows)
+            sset = sorted("|".join(norm(r[i]) for i in order) for r in dsrows)
             oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
-            oset = sorted("|".join(norm(r[i]) for i in oorder) for r in orows)
+            oset = sorted("|".join(norm(r[i]) for i in oorder) for r in dorows)
             diffs = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
             for a, b in diffs:
                 print(f"    spark:  {a[:150]}")
