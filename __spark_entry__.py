@@ -836,6 +836,79 @@ def q_lsh_bucket_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_source_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 end-to-end with a CONCRETE driver: a GA-shaped report source
+    (day intervals, trailing-lag signatures, dims x metrics reports) is
+    pull-synced twice into a lake table through the interval-sync
+    machinery (signature-gated, stats-pruned atomic overwrites).
+
+    Events become visible to the "API" only at ``arrival`` (event time
+    plus a deterministic md5-derived delay of up to 72h). Run 1 syncs at
+    now=2024-01-20; run 2 at now=2024-01-31. Days up to 01-18 freeze at
+    run 1 (UPTODATE at run 2 — late arrivals permanently missed, the
+    reference's lag trade-off); 01-19/01-20 REFRESH; later days are NEW.
+    The final table state is therefore exactly SQL-expressible: per day,
+    events with arrival before that day's last-sync clock."""
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.sources.ga_driver import GaShapedReportDriver
+    from jitsu_spark.sources.interval_sync import IntervalSyncJob
+
+    now1, now2 = "2024-01-20 00:00:00", "2024-01-31 00:00:00"
+    md5id = F.md5(F.col("event_id").cast("string"))
+    delay_h = (
+        F.ascii(F.substring(md5id, 1, 1)) * 7 + F.ascii(F.substring(md5id, 2, 1))
+    ) % 72
+    src_dir = _scratch("ga_src")
+    (
+        _read(spark, sf_dir, "events")
+        .withColumn("_delay_h", delay_h)
+        .withColumn("arrival", F.expr("timestampadd(HOUR, _delay_h, ts)"))
+        .drop("_delay_h")
+        .write.parquet(src_dir)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("report_id", T.StringType()),
+            T.StructField("report_date", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("sessions", T.LongType()),
+            T.StructField("revenue", T.DecimalType(28, 2)),
+            T.StructField("_time_chunk", T.StringType()),
+            T.StructField("_interval_start", T.TimestampType()),
+            T.StructField("_interval_end", T.TimestampType()),
+        ]
+    )
+    root = _scratch("ga_tbl")
+    table = LakeTable.create(
+        spark, root, schema, "report_id", n_buckets=4,
+        properties={"write.stats.column": "report_date"},
+    )
+    drv = GaShapedReportDriver(
+        source_path=src_dir,
+        ts_col="ts",
+        arrival_col="arrival",
+        dimensions=["event_type"],
+        metrics={"sessions": ("count", "*"), "revenue": ("sum_money", "value")},
+        now=now1,
+        days_back=20,
+    )
+    job = IntervalSyncJob(
+        table, drv, ts_col="report_date",
+        state_path=os.path.join(os.path.dirname(root), "state.json"),
+        job_id="ga-sync",
+    )
+    job.run_once(spark)
+    drv.now, drv.days_back = now2, 31  # next scheduled run, 11 days later
+    job.run_once(spark)
+    return table.read().select(
+        "report_date",
+        "event_type",
+        "_time_chunk",
+        "sessions",
+        (F.col("revenue") * 100).cast("long").alias("revenue_cents"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_cdc_replay_final_state(spark, "/root/testdata/sf0.001")
@@ -883,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         "cdc_replay_rebucket": q_cdc_replay_rebucket,
         "lsh_bucket_guard": q_lsh_bucket_guard,
+        "interval_source_sync": q_interval_source_sync,
     }
 
 
@@ -1617,4 +1691,35 @@ def oracle_sql() -> dict[str, str]:
             for i in range(8)
         )
     )
+    # GA-shaped interval pull-sync: per day, the surviving rows are the
+    # report over events that had ARRIVED by that day's last sync clock —
+    # now1 for days frozen at run 1 (upper <= now1 - 1d lag), now2 for
+    # refreshed/new days. Arrival = ts + md5-derived delay (same formula
+    # as the Spark side, both engines' md5/ascii agree).
+    out["interval_source_sync"] = """
+        WITH src AS (
+            SELECT event_type, value, ts,
+                   ts + to_hours(
+                       (ascii(substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) * 7
+                        + ascii(substr(md5(CAST(event_id AS VARCHAR)), 2, 1))) % 72
+                   ) AS arrival
+            FROM events
+        ),
+        vis AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS report_date,
+                   event_type, value
+            FROM src
+            WHERE arrival < CASE
+                WHEN date_trunc('day', ts) + INTERVAL 1 DAY
+                     <= TIMESTAMP '2024-01-19 00:00:00'
+                THEN TIMESTAMP '2024-01-20 00:00:00'
+                ELSE TIMESTAMP '2024-01-31 00:00:00' END
+        )
+        SELECT report_date, event_type,
+               'UTC_DAY_' || strftime(report_date, '%Y-%m-%d') AS _time_chunk,
+               count(*) AS sessions,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS revenue_cents
+        FROM vis GROUP BY 1, 2, 3
+    """
     return out

@@ -235,7 +235,23 @@ def compact_manifest(
        still returns the full record). ``changes()`` ranges that reach
        into archived lineage raise — sync downstream consumers first,
        the same consume-before-compact contract as data compaction.
+
+    Retries on commit conflict (the streaming runner calls this inline in
+    foreachBatch while concurrent writers may be committing), recomputing
+    the fold from a fresh snapshot. A retry may re-append already-archived
+    lineage lines; ``full_history`` de-duplicates (by version, and by
+    content hash for version-less entries).
     """
+    return LakeTable._retry_commit(
+        lambda: _compact_manifest_once(table, keep_lineage, keep_recent_batches)
+    )
+
+
+def _compact_manifest_once(
+    table: LakeTable,
+    keep_lineage: int,
+    keep_recent_batches: int,
+) -> ManifestCompactResult:
     snap = table.snapshot()
     passthrough: list[str] = []
     per_job: dict[str, set[int]] = {}
@@ -317,26 +333,37 @@ def _archive_path(table: LakeTable) -> str:
 
 
 def full_history(table: LakeTable) -> list[dict]:
-    """Complete lineage: archived entries (de-duplicated by version —
-    a crashed compaction may append twice) + the snapshot's live tail."""
+    """Complete lineage: archived entries + the snapshot's live tail.
+
+    De-duplicates twice-archived entries — a crashed or conflict-retried
+    compaction appends the same lines again (the archive write happens
+    before the commit on purpose: archiving after would lose entries if
+    the process dies between commit and append, since the new snapshot has
+    already dropped them). Versioned entries dedupe by version; pre-stamp
+    (version-less) entries dedupe by full content hash."""
     import json as _json
 
     out: list[dict] = []
     seen: set[int] = set()
+    seen_unversioned: set[str] = set()
+
+    def _add(e: dict) -> None:
+        v = e.get("version")
+        if v is None:
+            k = _json.dumps(e, sort_keys=True)
+            if k in seen_unversioned:
+                return
+            seen_unversioned.add(k)
+            out.append(e)
+        elif v not in seen:
+            seen.add(v)
+            out.append(e)
+
     path = _archive_path(table)
     if os.path.exists(path):
         with open(path) as f:
             for line in f:
-                e = _json.loads(line)
-                v = e.get("version")
-                if v is None or v not in seen:
-                    out.append(e)
-                    if v is not None:
-                        seen.add(v)
+                _add(_json.loads(line))
     for e in table.snapshot().lineage:
-        v = e.get("version")
-        if v is None or v not in seen:
-            out.append(e)
-            if v is not None:
-                seen.add(v)
+        _add(e)
     return out

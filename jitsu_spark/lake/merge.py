@@ -202,27 +202,26 @@ def _merge_once(
     else:
         from pyspark.sql import Observation
 
-        # the empty probe runs on the RAW frame, before observe is
-        # attached — an action on the observed frame (even limit-1)
-        # would publish PARTIAL metrics and poison observation.get.
-        # For the non-empty case the observe node sits on a straight
-        # scan->aggregate->write plan whose only action is the write, so
-        # AQE's empty-relation pruning (which silently eats
-        # CollectMetrics on emptied branches) cannot bite
-        mor_empty = batch_df.isEmpty()
-        observation = None
-        if not mor_empty:
-            observation = Observation()
-            batch_df = batch_df.observe(
-                observation,
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(
-                    F.sum((F.col(op_col) == OP_DELETE).cast("long")),
-                    F.lit(0),
-                ).alias("nd"),
-                F.min(seq_col).alias("smin"),
-                F.max(seq_col).alias("smax"),
-            )
+        # ONE Spark action per batch, truly: no empty-probe job. The
+        # observe node rides the write; emptiness is derived POST-write
+        # (an empty frame under partitionBy produces zero files), and
+        # observation.get is only consulted when files were written —
+        # never on an emptied plan, so AQE's empty-relation pruning
+        # (which silently eats CollectMetrics on emptied branches)
+        # cannot poison the metrics read. The observed plan is a straight
+        # scan->aggregate->write with the write as its only action, so
+        # partial-metrics publication cannot occur either.
+        observation = Observation()
+        batch_df = batch_df.observe(
+            observation,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum((F.col(op_col) == OP_DELETE).cast("long")),
+                F.lit(0),
+            ).alias("nd"),
+            F.min(seq_col).alias("smin"),
+            F.max(seq_col).alias("smax"),
+        )
         n_keys = n_deletes = 0
         seq_min = seq_max = None
         affected = []
@@ -251,7 +250,7 @@ def _merge_once(
     target = plan.target
 
     new_files: dict[str, list[str]] = {}
-    if mode == "mor" and not mor_empty:
+    if mode == "mor":
         # 4-MoR. Append-only delta write: the LWW'd batch (tombstones
         # included, op persisted) lands as one delta file per affected
         # bucket — O(batch) work regardless of table size; readers
@@ -269,11 +268,13 @@ def _merge_once(
             .repartition(snap.n_buckets, F.col(BUCKET_COL))
         )
         new_files = table._write_files(delta)
-        got = observation.get
-        n_keys = got["n"]
-        n_deletes = got["nd"]
-        seq_min, seq_max = got["smin"], got["smax"]
-        affected = sorted(int(b) for b in new_files)
+        if new_files:  # empty batch wrote zero files: skip the metrics
+            # read (its plan may have been emptied; see observe comment)
+            got = observation.get
+            n_keys = got["n"]
+            n_deletes = got["nd"]
+            seq_min, seq_max = got["smin"], got["smax"]
+            affected = sorted(int(b) for b in new_files)
     elif mode != "mor" and n_keys > 0:
         # 4. CoW rewrite of affected buckets.
         existing = table.read(buckets=affected, snap=snap)

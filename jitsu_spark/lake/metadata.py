@@ -131,9 +131,12 @@ def _repair_hint(root: str, read_hint: int, rolled_v: int) -> None:
     Per-repairer tmp name (concurrent repairers never clobber each other's
     tmp files) and a re-check of the hint immediately before the swap — a
     concurrent commit_snapshot may have advanced it past our rolled-forward
-    value, and replacing then would make the hint non-monotone. Losing the
-    race is fine (every reader re-runs the roll-forward loop); overwriting
-    a NEWER hint is not."""
+    value. The re-check NARROWS the regression window but is not atomic
+    (no lock around read+replace): a commit landing between the re-check
+    and os.replace can still briefly regress the hint. That is safe — the
+    hint is advisory and every reader re-runs the roll-forward loop in
+    ``current_version`` — so a transient stale hint costs a few extra
+    stat() calls, never a wrong answer."""
     try:
         tmp = f"{_hint_path(root)}.tmp.{os.getpid()}.{id(object())}"
         with open(tmp, "w") as f:

@@ -364,6 +364,21 @@ class LakeTable:
     def _commit(self, snap: Snapshot) -> None:
         md.commit_snapshot(self.root, snap)
 
+    @staticmethod
+    def _retry_commit(fn, max_commit_retries: int = 5):
+        """Optimistic-concurrency wrapper for maintenance commits (same
+        contract as merge_batch's loop): on CommitConflict re-snapshot and
+        recompute the whole op. Without this a conflict raised out of a
+        maintenance call inside foreachBatch (the runner compacts inline)
+        kills the stream even though the op is safely repeatable."""
+        last: CommitConflict | None = None
+        for _ in range(max_commit_retries):
+            try:
+                return fn()
+            except CommitConflict as e:
+                last = e
+        raise last  # type: ignore[misc]
+
     # -- per-file column stats (Iceberg-manifest-style pruning metadata) ----
 
     STATS_COL_PROP = "write.stats.column"
@@ -446,8 +461,12 @@ class LakeTable:
 
         CoW merges add a few files per affected bucket per micro-batch; this
         folds any bucket whose file count exceeds the threshold back to one
-        file. Analogous to Iceberg rewrite_data_files.
+        file. Analogous to Iceberg rewrite_data_files. Retries on commit
+        conflict (concurrent writers), recomputing from a fresh snapshot.
         """
+        return self._retry_commit(lambda: self._compact_once(max_files_per_bucket))
+
+    def _compact_once(self, max_files_per_bucket: int) -> CommitResult:
         snap = self.snapshot()
         frag = [b for b, es in snap.files.items() if len(es) > max_files_per_bucket]
         if not frag:
@@ -501,9 +520,13 @@ class LakeTable:
 
         Like compaction, a rebucket breaks ``changes()`` ranges that cross
         it — sync downstream consumers first (consume-before-compact
-        applies to resizes too)."""
+        applies to resizes too). Retries on commit conflict, recomputing
+        from a fresh snapshot."""
         if factor < 2:
             raise ValueError("factor must be >= 2")
+        return self._retry_commit(lambda: self._rebucket_once(factor))
+
+    def _rebucket_once(self, factor: int) -> CommitResult:
         snap = self.snapshot()
         new_n = snap.n_buckets * factor
         key = snap.key_field

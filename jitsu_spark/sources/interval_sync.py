@@ -65,6 +65,11 @@ class IntervalDriver:
 class SyncReport:
     synced: list[str] = field(default_factory=list)
     skipped: list[str] = field(default_factory=list)
+    # per-interval decision, mirroring the reference sync executor's log
+    # states (/root/reference/server/synchronization/task_executor.go:
+    # 221-228, re-derived): NEW (no stored signature), REFRESH (signature
+    # changed), UPTODATE (unchanged — skipped)
+    statuses: dict[str, str] = field(default_factory=dict)
 
 
 class IntervalSyncJob:
@@ -106,9 +111,12 @@ class IntervalSyncJob:
         report = SyncReport()
         for itv in self.driver.available_intervals():
             sig = self.driver.signature(itv)
-            if state.get(itv.id) == sig:
+            stored = state.get(itv.id)
+            if stored == sig:
+                report.statuses[itv.id] = "UPTODATE"
                 report.skipped.append(itv.id)
                 continue
+            report.statuses[itv.id] = "NEW" if stored is None else "REFRESH"
             df = self.driver.read_interval(spark, itv)
             pred = (
                 F.col(self.ts_col) >= F.lit(itv.lower).cast("timestamp")

@@ -72,6 +72,12 @@ class CdcStreamJob:
     # consume-before-compact contract of changes()
     post_commit: Callable[[int], None] | None = None
     results: list[MergeResult] = field(default_factory=list)
+    # batch_id -> dead-lettered row count, populated when event_fn is set
+    # but NO dead_letter_dir is configured: the rows are dropped (there is
+    # nowhere durable to put them) but never silently — the count is
+    # recorded here and surfaced via metrics(). With a dead_letter_dir the
+    # rows themselves are persisted instead.
+    dead_letters: dict[int, int] = field(default_factory=dict)
 
     def _reader(self, spark: SparkSession):
         from jitsu_spark.sources.stream_sources import FileSource
@@ -108,6 +114,13 @@ class CdcStreamJob:
                 dead.write.mode("overwrite").parquet(
                     os.path.join(self.dead_letter_dir, f"batch_id={batch_id}")
                 )
+            else:
+                # no durable DLQ configured: the rows are discarded, but
+                # count them (cheap — `combined` is persisted) so the loss
+                # is observable in metrics() rather than silent
+                n_dead = dead.count()
+                if n_dead:
+                    self.dead_letters[batch_id] = n_dead
         try:
             if self.transform is not None:
                 batch_df = self.transform(batch_df)
@@ -178,6 +191,7 @@ class CdcStreamJob:
         return {
             "batches": len(self.results),
             "batches_skipped_already_committed": len(self.results) - len(done),
+            "dead_letter_rows_dropped": sum(self.dead_letters.values()),
             "upserted_keys": total_keys,
             "deleted_keys": sum(r.n_deletes for r in done),
             "wall_s": round(total_wall, 3),

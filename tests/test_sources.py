@@ -162,6 +162,178 @@ def test_interval_sync_signature_gated(spark, tmpdir_path):
     assert t.snapshot().version == v  # ...but the manifest skipped both
 
 
+def _ga_fixture(spark, tmpdir_path):
+    """4 days of events, one LATE arrival per day 2 (arrives day 5)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (id, event ts, arrival ts, type, value)
+        ("e1", "2024-01-01 10:00:00", "2024-01-01 12:00:00", "click", 1.0),
+        ("e2", "2024-01-02 09:00:00", "2024-01-02 10:00:00", "click", 2.0),
+        ("e3", "2024-01-02 23:00:00", "2024-01-05 01:00:00", "click", 4.0),  # late
+        ("e4", "2024-01-03 08:00:00", "2024-01-05 02:00:00", "buy", 8.0),  # late
+        ("e5", "2024-01-04 07:00:00", "2024-01-04 08:00:00", "buy", 16.0),
+    ]
+    src = os.path.join(tmpdir_path, "src")
+    (
+        spark.createDataFrame(rows, ["event_id", "ts_s", "arr_s", "event_type", "value"])
+        .select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            F.col("arr_s").cast("timestamp").alias("arrival"),
+            "event_type",
+            "value",
+        )
+        .write.parquet(src)
+    )
+    return src
+
+
+def test_ga_shaped_driver_two_run_sync(spark, tmpdir_path):
+    """Concrete GA-shaped driver end-to-end: day intervals, trailing-lag
+    signatures, NEW/REFRESH/UPTODATE decisions, and the lag trade-off —
+    an arrival later than the lag window is missed forever on a frozen
+    day but picked up on a refreshed one."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.sources.ga_driver import GaShapedReportDriver
+    from jitsu_spark.sources.interval_sync import IntervalSyncJob
+
+    src = _ga_fixture(spark, tmpdir_path)
+    schema = T.StructType(
+        [
+            T.StructField("report_id", T.StringType()),
+            T.StructField("report_date", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("sessions", T.LongType()),
+            T.StructField("revenue", T.DecimalType(28, 2)),
+            T.StructField("_time_chunk", T.StringType()),
+            T.StructField("_interval_start", T.TimestampType()),
+            T.StructField("_interval_end", T.TimestampType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), schema, "report_id",
+        n_buckets=4, properties={"write.stats.column": "report_date"},
+    )
+    drv = GaShapedReportDriver(
+        source_path=src, ts_col="ts", arrival_col="arrival",
+        dimensions=["event_type"],
+        metrics={"sessions": ("count", "*"), "revenue": ("sum_money", "value")},
+        now="2024-01-04 00:00:00", days_back=4,
+    )
+    job = IntervalSyncJob(
+        t, drv, "report_date", os.path.join(tmpdir_path, "state.json"),
+        job_id="ga",
+    )
+
+    # run 1 at now=01-04: lag clock = 01-03; every day is NEW
+    r1 = job.run_once(spark)
+    assert all(s == "NEW" for s in r1.statuses.values())
+    assert len(r1.synced) == 4
+    state1 = {
+        (r["_time_chunk"], r["event_type"]): (r["sessions"], float(r["revenue"]))
+        for r in t.read().collect()
+    }
+    # e3 (day 2, arrives 01-05) and e4 (day 3, arrives 01-05) not visible
+    assert state1[("UTC_DAY_2024-01-02", "click")] == (1, 2.0)
+    assert ("UTC_DAY_2024-01-03", "buy") not in state1
+
+    # run 2 at now=01-06: lag clock = 01-05. Days 01-01/01-02 froze at
+    # run 1 (upper <= 01-03) -> UPTODATE, e3 is missed FOREVER; days
+    # 01-03/01-04 refresh and pick up e4; 01-05/01-06 are NEW (empty).
+    drv.now, drv.days_back = "2024-01-06 00:00:00", 6
+    r2 = job.run_once(spark)
+    assert r2.statuses["UTC_DAY_2024-01-01"] == "UPTODATE"
+    assert r2.statuses["UTC_DAY_2024-01-02"] == "UPTODATE"
+    assert r2.statuses["UTC_DAY_2024-01-03"] == "REFRESH"
+    assert r2.statuses["UTC_DAY_2024-01-04"] == "REFRESH"
+    assert r2.statuses["UTC_DAY_2024-01-05"] == "NEW"
+    assert r2.statuses["UTC_DAY_2024-01-06"] == "NEW"
+    state2 = {
+        (r["_time_chunk"], r["event_type"]): (r["sessions"], float(r["revenue"]))
+        for r in t.read().collect()
+    }
+    assert state2[("UTC_DAY_2024-01-02", "click")] == (1, 2.0)  # e3 lost (lag)
+    assert state2[("UTC_DAY_2024-01-03", "buy")] == (1, 8.0)  # e4 recovered
+    assert state2[("UTC_DAY_2024-01-04", "buy")] == (1, 16.0)
+
+
+def test_ga_shaped_driver_crash_resume(spark, tmpdir_path):
+    """State is saved per interval: a crash mid-run re-reads only the
+    intervals that had not yet committed (same-now signatures of synced
+    intervals are unchanged -> UPTODATE)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.sources.ga_driver import GaShapedReportDriver
+    from jitsu_spark.sources.interval_sync import IntervalSyncJob
+
+    src = _ga_fixture(spark, tmpdir_path)
+    schema = T.StructType(
+        [
+            T.StructField("report_id", T.StringType()),
+            T.StructField("report_date", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("sessions", T.LongType()),
+            T.StructField("revenue", T.DecimalType(28, 2)),
+            T.StructField("_time_chunk", T.StringType()),
+            T.StructField("_interval_start", T.TimestampType()),
+            T.StructField("_interval_end", T.TimestampType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), schema, "report_id", n_buckets=4
+    )
+
+    class CrashyDriver(GaShapedReportDriver):
+        crash_on: str | None = None
+
+        def read_interval(self, spark_, itv):
+            if itv.id == self.crash_on:
+                raise RuntimeError("simulated API failure")
+            return super().read_interval(spark_, itv)
+
+    drv = CrashyDriver(
+        source_path=src, ts_col="ts", arrival_col="arrival",
+        dimensions=["event_type"],
+        metrics={"sessions": ("count", "*"), "revenue": ("sum_money", "value")},
+        now="2024-01-04 00:00:00", days_back=4,
+    )
+    job = IntervalSyncJob(
+        t, drv, "report_date", os.path.join(tmpdir_path, "state.json"),
+        job_id="ga",
+    )
+    # newest-first enumeration: 01-04, 01-03 sync, then 01-02 crashes
+    drv.crash_on = "UTC_DAY_2024-01-02"
+    try:
+        job.run_once(spark)
+        raise AssertionError("expected simulated crash")
+    except RuntimeError:
+        pass
+    drv.crash_on = None
+    drv.read_log.clear()
+    r = job.run_once(spark)
+    # only the unfinished intervals are re-read; no duplicate rows
+    assert set(drv.read_log) == {"UTC_DAY_2024-01-02", "UTC_DAY_2024-01-01"}
+    assert r.statuses["UTC_DAY_2024-01-04"] == "UPTODATE"
+    assert r.statuses["UTC_DAY_2024-01-03"] == "UPTODATE"
+    rows = t.read().collect()
+    assert len(rows) == len({r["report_id"] for r in rows})
+    counts = {
+        (r["_time_chunk"], r["event_type"]): r["sessions"] for r in rows
+    }
+    assert counts[("UTC_DAY_2024-01-01", "click")] == 1
+    assert counts[("UTC_DAY_2024-01-02", "click")] == 1
+
+
 # ---------------------------------------------------------------------------
 # S9: Singer tap protocol
 # ---------------------------------------------------------------------------
