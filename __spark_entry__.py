@@ -909,6 +909,61 @@ def q_interval_source_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENTRY_TAP = r'''
+import argparse, json
+p = argparse.ArgumentParser()
+p.add_argument("-c", "--config", default=None)
+p.add_argument("--state", default=None)
+a = p.parse_args()
+start = 0
+if a.state:
+    with open(a.state) as f:
+        start = json.load(f).get("bookmark", 0)
+print(json.dumps({
+    "type": "SCHEMA", "stream": "accounts",
+    "schema": {"properties": {"id": {"type": "integer"},
+                              "name": {"type": "string"},
+                              "balance": {"type": "number"}}},
+    "key_properties": ["id"],
+}))
+for chunk in range(start, 8):
+    for i in range(5):
+        rid = chunk * 5 + i
+        print(json.dumps({"type": "RECORD", "stream": "accounts",
+                          "record": {"id": rid % 17, "name": "n%d" % rid,
+                                     "balance": float(rid)}}))
+    print(json.dumps({"type": "STATE", "value": {"bookmark": chunk + 1}}))
+'''
+
+
+def q_singer_tap_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 end-to-end: a real Singer tap SUBPROCESS (deterministic record
+    generator speaking the public SCHEMA/RECORD/STATE protocol) driven by
+    SingerTapJob — portions cut at STATE boundaries, md5-keyed MERGE per
+    stream, bookmark committed per portion, resume contract exercised by
+    a second run (emits nothing, table unchanged). 40 upserts over 17
+    keys; the last emission per key wins (LWW by stream order)."""
+    import sys
+
+    from jitsu_spark.sources.singer_tap import SingerTapJob
+
+    work = _scratch("singer")
+    os.makedirs(work, exist_ok=True)
+    tap = os.path.join(work, "tap.py")
+    with open(tap, "w") as f:
+        f.write(_ENTRY_TAP)
+    job = SingerTapJob(
+        spark=spark,
+        tap_cmd=[sys.executable, tap],
+        work_dir=os.path.join(work, "state"),
+        tables_root=os.path.join(work, "tables"),
+        job_id="singer-entry",
+    )
+    job.run_once()
+    job.run_once()  # resume: bookmark=8, tap emits nothing new
+    return job.tables["accounts"].read().select("id", "name", "balance")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_cdc_replay_final_state(spark, "/root/testdata/sf0.001")
@@ -957,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_rebucket": q_cdc_replay_rebucket,
         "lsh_bucket_guard": q_lsh_bucket_guard,
         "interval_source_sync": q_interval_source_sync,
+        "singer_tap_sync": q_singer_tap_sync,
     }
 
 
@@ -1721,5 +1777,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
                    AS revenue_cents
         FROM vis GROUP BY 1, 2, 3
+    """
+    # Singer tap replay: the tap's record generator re-derived in pure
+    # SQL (40 rids over 17 keys, later emission wins)
+    out["singer_tap_sync"] = """
+        WITH r AS (SELECT range AS rid FROM range(0, 40)),
+        f AS (
+            SELECT rid % 17 AS id, 'n' || rid AS name,
+                   CAST(rid AS DOUBLE) AS balance,
+                   row_number() OVER (PARTITION BY rid % 17
+                                      ORDER BY rid DESC) AS rn
+            FROM r
+        )
+        SELECT id, name, balance FROM f WHERE rn = 1
     """
     return out

@@ -1,0 +1,305 @@
+"""Singer tap subprocess orchestration (S9 end-to-end).
+
+The reference spawns a Singer tap binary and consumes its stdout as a
+stream of newline-delimited JSON messages, cutting the stream into
+PORTIONS at STATE boundaries; each portion's records are stored per
+stream (keyed by an md5 hash of the stream's key fields) and the state
+bookmark is persisted only after a successful store, so a crash resumes
+from the last committed bookmark by passing ``--state`` back to the tap
+(/root/reference/server/drivers/singer.go:162-230 and
+synchronization/singer_result_saver.go:38-94 — semantics re-derived, no
+code ported; the tap protocol itself is the public Singer spec).
+
+Spark-first split of responsibilities:
+- subprocess + line spooling is driver-side I/O (inherently a single
+  consumer of one pipe — same as the reference's goroutine);
+- everything per-record is Spark: the spool is parsed columnar-ly
+  (``split_singer_messages``/``singer_records``), records get their
+  deterministic key hash as a column expression, and land via the lake
+  MERGE kernel — so a portion with 10^8 records is a normal distributed
+  upsert, not a driver loop.
+
+Exactly-once across crashes = the same two layers as the CDC stream:
+the state bookmark is only advanced after the portion's merge commits,
+and each portion's merge carries a deterministic batch id (md5 of the
+portion's closing state), so a re-delivered identical portion is skipped
+by the table's commit manifest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jitsu_spark.lake.merge import merge_batch
+from jitsu_spark.lake.table import LakeTable
+from jitsu_spark.sources.singer import split_singer_messages
+
+#: system columns stamped onto every record (singer_result_saver.go:44-55
+#: analog; ``src`` marks provenance, ``event_id`` is the key-fields hash)
+SRC_VALUE = "source"
+
+
+def json_schema_to_spark(js: dict) -> T.StructType:
+    """Minimal JSON-schema -> Spark schema for Singer SCHEMA messages
+    (string/integer/number/boolean/object/array + date-time format)."""
+    return T.StructType(
+        [
+            T.StructField(name, _js_type(spec))
+            for name, spec in (js.get("properties") or {}).items()
+        ]
+    )
+
+
+def _js_type(spec: dict) -> T.DataType:
+    t = spec.get("type", "string")
+    if isinstance(t, list):  # e.g. ["null", "integer"]
+        non_null = [x for x in t if x != "null"]
+        t = non_null[0] if non_null else "string"
+    if t == "integer":
+        return T.LongType()
+    if t == "number":
+        return T.DoubleType()
+    if t == "boolean":
+        return T.BooleanType()
+    if t == "object":
+        return json_schema_to_spark(spec)
+    if t == "array":
+        return T.ArrayType(_js_type(spec.get("items") or {"type": "string"}))
+    if spec.get("format") == "date-time":
+        return T.TimestampType()
+    return T.StringType()
+
+
+@dataclass
+class StreamMeta:
+    schema: T.StructType
+    key_properties: list[str]
+
+
+@dataclass
+class SingerRunReport:
+    portions: int = 0
+    records: dict[str, int] = field(default_factory=dict)
+    final_state: str | None = None
+    tap_exit_code: int | None = None
+
+
+@dataclass
+class SingerTapJob:
+    """Run a Singer tap subprocess and sync its streams into lake tables.
+
+    ``tap_cmd`` is the argv of the tap (a real tap binary, or any script
+    speaking the protocol); if a committed state bookmark exists it is
+    appended as ``--state <file>`` (the standard Singer resume contract,
+    singer.go:173-197). One LakeTable per stream is created lazily under
+    ``tables_root/<stream>`` keyed by ``event_id``.
+    """
+
+    spark: SparkSession
+    tap_cmd: list[str]
+    work_dir: str
+    tables_root: str
+    n_buckets: int = 8
+    job_id: str = "singer"
+    max_portion_lines: int = 1_000_000  # safety cut if a tap never emits STATE
+    dead_letter_dir: str | None = None
+    tables: dict[str, LakeTable] = field(default_factory=dict)
+    streams: dict[str, StreamMeta] = field(default_factory=dict)
+
+    # -- state bookkeeping ---------------------------------------------------
+
+    def _state_path(self) -> str:
+        return os.path.join(self.work_dir, "state.json")
+
+    def committed_state(self) -> str | None:
+        try:
+            with open(self._state_path()) as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def _save_state(self, state_json: str) -> None:
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(state_json)
+        os.replace(tmp, self._state_path())
+
+    # -- portion processing --------------------------------------------------
+
+    def _table_for(self, stream: str, meta: StreamMeta) -> LakeTable:
+        if stream in self.tables:
+            return self.tables[stream]
+        root = os.path.join(self.tables_root, stream)
+        schema = T.StructType(
+            [T.StructField("event_id", T.StringType())]
+            + list(meta.schema.fields)
+            + [T.StructField("src", T.StringType())]
+        )
+        if os.path.exists(os.path.join(root, "metadata")):
+            t = LakeTable(self.spark, root)
+        else:
+            t = LakeTable.create(
+                self.spark, root, schema, "event_id", n_buckets=self.n_buckets
+            )
+        self.tables[stream] = t
+        return t
+
+    def _apply_portion(self, lines: list[str], portion_no: int) -> dict[str, int]:
+        """Parse one portion columnar-ly and MERGE each stream's records.
+
+        Record order within the portion provides the LWW sequence (a later
+        record for the same key wins — Singer's replication semantic)."""
+        spool = os.path.join(self.work_dir, "spool", f"p{portion_no:06d}.jsonl")
+        os.makedirs(os.path.dirname(spool), exist_ok=True)
+        with open(spool + ".tmp", "w") as f:
+            for i, ln in enumerate(lines):
+                f.write(json.dumps({"_ln": i, "_raw": ln}) + "\n")
+        os.replace(spool + ".tmp", spool)
+        raw = self.spark.read.schema("_ln long, _raw string").json(spool)
+        msgs = split_singer_messages(raw, line_col="_raw", order_col="_ln")
+
+        # SCHEMA messages update per-stream metadata (driver-side: a few
+        # rows per portion at most)
+        for r in msgs.schemas.collect():
+            self.streams[r["stream"]] = StreamMeta(
+                schema=json_schema_to_spark(json.loads(r["schema_json"])),
+                key_properties=list(r["key_properties"] or []),
+            )
+
+        counts: dict[str, int] = {}
+        present = [
+            r["stream"]
+            for r in msgs.records.select("stream").distinct().collect()
+        ]
+        state_sig = hashlib.md5(
+            (lines[-1] if lines else "").encode()
+        ).hexdigest()[:16]
+        for stream in sorted(present):
+            meta = self.streams.get(stream)
+            if meta is None:
+                raise ValueError(
+                    f"tap emitted RECORDs for stream {stream!r} before SCHEMA"
+                )
+            table = self._table_for(stream, meta)
+            # typed extraction as in singer_records, but carrying the line
+            # order through as the LWW seq
+            ordered = msgs.records.filter(F.col("stream") == stream).select(
+                F.col("_ln").alias("seq"), "record_json"
+            )
+            typed = ordered.withColumn(
+                "_p",
+                F.from_json(
+                    F.col("record_json"),
+                    T.StructType(
+                        list(meta.schema.fields)
+                        + [T.StructField("_corrupt", T.StringType())]
+                    ),
+                    {"columnNameOfCorruptRecord": "_corrupt", "mode": "PERMISSIVE"},
+                ),
+            ).select("seq", "_p.*")
+            good = typed.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+            bad = typed.filter(F.col("_corrupt").isNotNull())
+            if self.dead_letter_dir is not None:
+                bad.select("seq", F.col("_corrupt").alias("raw")).write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(
+                        self.dead_letter_dir, f"{stream}_p{portion_no:06d}"
+                    )
+                )
+            # deterministic id: md5 over the key fields (or the whole
+            # record when the stream declares none) — uuid.GetKeysHash
+            # analog (sorted keys, "v|" concatenation)
+            key_cols = sorted(meta.key_properties) or sorted(
+                f.name for f in meta.schema.fields
+            )
+            evid = F.md5(
+                F.concat_ws(
+                    "|", *[F.col(c).cast("string") for c in key_cols]
+                )
+            )
+            batch = good.select(
+                evid.alias("event_id"),
+                *[f.name for f in meta.schema.fields],
+                F.lit(SRC_VALUE).alias("src"),
+                F.col("seq"),
+                F.lit("u").alias("op"),
+            )
+            res = merge_batch(
+                table,
+                batch,
+                batch_id=f"p{state_sig}",
+                job_id=f"{self.job_id}/{stream}",
+            )
+            counts[stream] = 0 if res.skipped else res.n_keys
+        return counts
+
+    # -- the run loop --------------------------------------------------------
+
+    def run_once(self) -> SingerRunReport:
+        """Spawn the tap, consume stdout, commit portion-by-portion."""
+        os.makedirs(self.work_dir, exist_ok=True)
+        cmd = list(self.tap_cmd)
+        state = self.committed_state()
+        if state:
+            sp = os.path.join(self.work_dir, "resume_state.json")
+            with open(sp, "w") as f:
+                f.write(state)
+            cmd += ["--state", sp]
+        report = SingerRunReport()
+        proc = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True
+        )
+        pending: list[str] = []
+        pending_has_records = False
+        try:
+            assert proc.stdout is not None
+            for line in proc.stdout:
+                line = line.rstrip("\n")
+                if not line.strip():
+                    continue
+                pending.append(line)
+                is_state = False
+                try:
+                    mtype = json.loads(line).get("type")
+                    is_state = mtype == "STATE"
+                    pending_has_records |= mtype == "RECORD"
+                except ValueError:
+                    pass  # non-JSON chatter: dead-letters in the parser
+                if is_state or len(pending) >= self.max_portion_lines:
+                    counts = self._apply_portion(pending, report.portions)
+                    for s, n in counts.items():
+                        report.records[s] = report.records.get(s, 0) + n
+                    if is_state:
+                        st = json.dumps(json.loads(line).get("value"))
+                        self._save_state(st)
+                        report.final_state = st
+                    report.portions += 1
+                    pending = []
+                    pending_has_records = False
+        finally:
+            proc.stdout.close()
+            report.tap_exit_code = proc.wait()
+        if report.tap_exit_code != 0:
+            # committed portions (and their states) stay committed — the
+            # next run resumes from the last bookmark
+            raise RuntimeError(
+                f"singer tap exited with {report.tap_exit_code}"
+            )
+        if pending and pending_has_records:
+            # trailing records after the last STATE: store them; their
+            # redelivery on the next run is absorbed by the batch-id skip
+            # (deterministic tap) or the idempotent LWW merge
+            counts = self._apply_portion(pending, report.portions)
+            for s, n in counts.items():
+                report.records[s] = report.records.get(s, 0) + n
+            report.portions += 1
+        return report

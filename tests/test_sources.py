@@ -3,6 +3,7 @@ replay, typed CSV with header normalization (S4-S6 / W11)."""
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import types as T
@@ -378,6 +379,125 @@ def test_singer_message_parsing(spark):
 
     assert msgs.records.filter(F.col("stream") == "orders").count() == 1
     assert '"id":2' in latest_state(msgs, "lineno").replace(" ", "")
+
+
+_TAP_SCRIPT = r'''
+import argparse, json, sys
+
+p = argparse.ArgumentParser()
+p.add_argument("-c", "--config", default=None)
+p.add_argument("--state", default=None)
+p.add_argument("--crash-after", type=int, default=-1)
+a = p.parse_args()
+start = 0
+if a.state:
+    with open(a.state) as f:
+        start = json.load(f).get("bookmark", 0)
+print(json.dumps({
+    "type": "SCHEMA", "stream": "users",
+    "schema": {"properties": {"id": {"type": "integer"},
+                              "name": {"type": "string"},
+                              "balance": {"type": "number"}}},
+    "key_properties": ["id"],
+}))
+emitted = 0
+for chunk in range(start, 4):
+    for i in range(5):
+        rid = chunk * 5 + i
+        print(json.dumps({"type": "RECORD", "stream": "users",
+                          "record": {"id": rid % 12, "name": "n%d" % rid,
+                                     "balance": float(rid)}}))
+    print(json.dumps({"type": "STATE", "value": {"bookmark": chunk + 1}}))
+    emitted += 1
+    if a.crash_after == emitted:
+        sys.exit(3)
+'''
+
+
+def _expected_users():
+    """Dict oracle for the tap: per id (rid % 12), the LAST rid wins."""
+    final = {}
+    for rid in range(20):
+        final[rid % 12] = ("n%d" % rid, float(rid))
+    return final
+
+
+def test_singer_tap_end_to_end(spark, tmpdir_path):
+    """Drive a real tap subprocess through SingerTapJob: portions cut at
+    STATE boundaries, per-stream lake table keyed by md5(key fields),
+    LWW by emission order, state bookmark committed per portion."""
+    import os
+    import sys
+
+    from jitsu_spark.sources.singer_tap import SingerTapJob
+
+    tap = os.path.join(tmpdir_path, "tap.py")
+    with open(tap, "w") as f:
+        f.write(_TAP_SCRIPT)
+    job = SingerTapJob(
+        spark=spark,
+        tap_cmd=[sys.executable, tap],
+        work_dir=os.path.join(tmpdir_path, "work"),
+        tables_root=os.path.join(tmpdir_path, "tables"),
+        job_id="singer-e2e",
+    )
+    rep = job.run_once()
+    assert rep.tap_exit_code == 0
+    assert rep.portions == 4  # one per STATE message
+    assert json.loads(rep.final_state) == {"bookmark": 4}
+    rows = {
+        r["id"]: (r["name"], r["balance"], r["src"])
+        for r in job.tables["users"].read().collect()
+    }
+    assert {k: (n, b) for k, (n, b, _) in rows.items()} == _expected_users()
+    assert all(src == "source" for _, _, src in rows.values())
+
+    # a second run resumes past the bookmark: tap emits nothing new
+    rep2 = job.run_once()
+    assert rep2.portions == 0
+    assert job.tables["users"].read().count() == 12
+
+
+def test_singer_tap_crash_resume_no_dupes(spark, tmpdir_path):
+    """Kill the tap between STATE messages; the next run resumes from the
+    committed bookmark and converges to the same final state, no dupes."""
+    import os
+    import sys
+
+    from jitsu_spark.sources.singer_tap import SingerTapJob
+
+    tap = os.path.join(tmpdir_path, "tap.py")
+    with open(tap, "w") as f:
+        f.write(_TAP_SCRIPT)
+    job = SingerTapJob(
+        spark=spark,
+        tap_cmd=[sys.executable, tap, "--crash-after", "2"],
+        work_dir=os.path.join(tmpdir_path, "work"),
+        tables_root=os.path.join(tmpdir_path, "tables"),
+        job_id="singer-crash",
+    )
+    try:
+        job.run_once()
+        raise AssertionError("expected tap crash")
+    except RuntimeError:
+        pass
+    # two portions committed before the crash, bookmark = 2
+    assert json.loads(job.committed_state()) == {"bookmark": 2}
+    mid = {r["id"] for r in job.tables["users"].read().collect()}
+    assert mid == {rid % 12 for rid in range(10)}
+
+    job.tap_cmd = [sys.executable, tap]  # healthy tap now
+    rep = job.run_once()
+    assert rep.tap_exit_code == 0 and rep.portions == 2
+    rows = {
+        r["id"]: (r["name"], r["balance"])
+        for r in job.tables["users"].read().collect()
+    }
+    assert rows == _expected_users()
+    # exactly one row per key — the md5 event_id keyed MERGE absorbed
+    # any overlap
+    allrows = job.tables["users"].read().collect()
+    assert len(allrows) == len({r["event_id"] for r in allrows}) == 12
 
 
 def test_stream_auto_compaction_bounds_files(spark, tmpdir_path):
