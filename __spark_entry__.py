@@ -909,6 +909,42 @@ def q_interval_source_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics read API (A5 / the reference's counter re-aggregation):
+    replay the change log in 5 batches, then query the engine's OWN
+    commit counters back out of lineage_frame — per batch: seq range,
+    raw rows, delete envelopes. The oracle recomputes the same counters
+    directly from the events table, so the engine's bookkeeping is
+    checked against the data it claims to have processed."""
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+    from jitsu_spark.streaming.metrics import lineage_frame
+
+    log = _changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, _scratch("statsroll"), schema, "doc_id", n_buckets=16
+    )
+    hi = log.agg(F.max("seq")).collect()[0][0] or 0
+    per = hi // 5 + 1
+    for i in range(5):
+        part = log.filter(
+            (F.col("seq") >= i * per) & (F.col("seq") < (i + 1) * per)
+        )
+        merge_batch(table, part, batch_id=i, job_id="stats-entry")
+    return (
+        lineage_frame(spark, table)
+        .filter(F.col("kind") == "merge")
+        .select("batch_id", "seq_min", "seq_max", "n_keys", "n_deletes")
+    )
+
+
 _ENTRY_TAP = r'''
 import argparse, json
 p = argparse.ArgumentParser()
@@ -1013,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_guard": q_lsh_bucket_guard,
         "interval_source_sync": q_interval_source_sync,
         "singer_tap_sync": q_singer_tap_sync,
+        "stats_rollup": q_stats_rollup,
     }
 
 
@@ -1790,5 +1827,17 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         )
         SELECT id, name, balance FROM f WHERE rn = 1
+    """
+    # lineage counters vs the data they claim to cover: per 5-way batch
+    # split, raw rows / delete envelopes / seq range
+    out["stats_rollup"] = f"""
+        WITH c AS ({cl}),
+        m AS (SELECT CAST(max(seq) // 5 + 1 AS BIGINT) AS per FROM c)
+        SELECT CAST(seq // per AS VARCHAR) AS batch_id,
+               min(seq) AS seq_min, max(seq) AS seq_max,
+               count(*) AS n_keys,
+               CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_deletes
+        FROM c, m GROUP BY 1
     """
     return out

@@ -342,6 +342,9 @@ def _merge_once(
             "schema_added": plan.added,
             "schema_widened": plan.widened,
             "wall_s": round(time.time() - t0, 3),
+            # commit wall-clock stamp for the counter/statistics read API
+            # (per-day/hour re-aggregation); metadata only, never data
+            "ts_ms": int(time.time() * 1000),
         }
     ]
     new_snap = Snapshot(

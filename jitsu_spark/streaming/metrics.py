@@ -76,16 +76,89 @@ def lineage_frame(spark: SparkSession, table: LakeTable) -> DataFrame:
                 # merge lineage records the count as n_keys (pre-LWW row
                 # count); older name n_events kept as a fallback
                 "n_keys": entry.get("n_keys", entry.get("n_events")),
+                "n_deletes": entry.get("n_deletes"),
                 "n_buckets_touched": len(entry.get("buckets", []) or []),
                 "schema_changed": bool(
                     entry.get("schema_added") or entry.get("schema_widened")
                 ),
                 "wall_s": entry.get("wall_s"),
+                "ts_ms": entry.get("ts_ms"),
             }
         )
     schema = (
         "commit_index long, kind string, job_id string, batch_id string, "
-        "seq_min long, seq_max long, n_keys long, n_buckets_touched long, "
-        "schema_changed boolean, wall_s double"
+        "seq_min long, seq_max long, n_keys long, n_deletes long, "
+        "n_buckets_touched long, schema_changed boolean, wall_s double, "
+        "ts_ms long"
     )
     return spark.createDataFrame(rows, schema)
+
+
+def statistics_frame(
+    spark: SparkSession,
+    table: LakeTable,
+    dead_letter_dir: str | None = None,
+    granularity: str = "day",
+) -> DataFrame:
+    """Counter/statistics read API (A5 + the reference's per-destination
+    per-day/hour success counters, meta/redis.go:630-720 /
+    handlers/statistics.go analog — re-derived): re-aggregate the
+    engine's own commit counters into one queryable frame of
+    ``(period, job_id, status, n)``.
+
+    - ``success`` / ``delete`` come from merge lineage (FULL history —
+      archived entries included), bucketed by the commit wall-clock stamp
+      at ``day`` or ``hour`` granularity;
+    - ``error`` counts dead-letter rows at rest when a DLQ dir is given
+      (periodless — the DLQ parquet is the durable artifact; live
+      per-batch error counts ride CdcStreamJob.metrics()).
+
+    Counter folding happens driver-side over lineage entries (bounded by
+    compact_manifest's keep_lineage + archive — thousands, not 10^10) and
+    lands in a DataFrame so downstream re-aggregation is plain SQL."""
+    import datetime as dt
+
+    from jitsu_spark.lake.maintenance import full_history
+
+    if granularity not in ("day", "hour"):
+        raise ValueError("granularity must be 'day' or 'hour'")
+    fmt = "%Y-%m-%d" if granularity == "day" else "%Y-%m-%d %H:00"
+    folded: dict[tuple, int] = {}
+    for e in full_history(table):
+        if e.get("kind") != "merge":
+            continue
+        ts_ms = e.get("ts_ms")
+        period = (
+            dt.datetime.fromtimestamp(
+                ts_ms / 1000, dt.timezone.utc
+            ).strftime(fmt)
+            if ts_ms is not None
+            else None
+        )
+        job = e.get("job_id")
+        nk = e.get("n_keys", e.get("n_events")) or 0
+        nd = e.get("n_deletes") or 0
+        folded[(period, job, "success")] = (
+            folded.get((period, job, "success"), 0) + nk - nd
+        )
+        if nd:
+            folded[(period, job, "delete")] = (
+                folded.get((period, job, "delete"), 0) + nd
+            )
+    rows = [
+        {"period": p, "job_id": j, "status": s, "n": n}
+        for (p, j, s), n in sorted(folded.items(), key=lambda kv: str(kv[0]))
+    ]
+    if dead_letter_dir is not None:
+        import os
+
+        if os.path.isdir(dead_letter_dir):
+            n_err = spark.read.parquet(dead_letter_dir).count()
+            if n_err:
+                rows.append(
+                    {"period": None, "job_id": None, "status": "error",
+                     "n": n_err}
+                )
+    return spark.createDataFrame(
+        rows, "period string, job_id string, status string, n long"
+    )

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import os
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from jitsu_spark.changelog import dict_replay
@@ -87,6 +87,22 @@ _ivm_ops = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_ivm_ops, n_batches=st.integers(min_value=1, max_value=3))
+# pinned adversarial cases — the two classic IVM sign-error traps, run on
+# EVERY execution regardless of what hypothesis generates:
+# 1. delete-everything-in-a-group (g0 empties -> its aggregate row must
+#    be DELETED, not left at 0 or gone negative)
+@example(
+    ops=[("i", 0, 0, 5), ("i", 1, 0, 7), ("i", 2, 1, 3),
+         ("d", 0, 0, 0), ("d", 1, 0, 0)],
+    n_batches=2,
+)
+# 2. group migration (doc 2 moves g1 -> g0 between versions: -1 on the
+#    old group's count/sum, +1 on the new — both signs must land)
+@example(
+    ops=[("i", 0, 0, 5), ("i", 2, 1, 3), ("u", 2, 0, 9),
+         ("u", 2, 2, 11), ("d", 0, 0, 0)],
+    n_batches=3,
+)
 def test_sync_aggregate_any_op_sequence_matches_recompute(
     spark, tmp_path_factory, ops, n_batches
 ):

@@ -61,3 +61,61 @@ def test_listener_and_lineage(spark, tmpdir_path):
     for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
         assert a1 < b0  # disjoint, ordered
     assert all(m["n_buckets_touched"] > 0 for m in merges)
+
+
+def test_statistics_frame_counters(spark, tmpdir_path):
+    """Counter read API: per-period per-job success/delete counts folded
+    from FULL lineage (archive included), plus DLQ error rows at rest."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.maintenance import compact_manifest
+    from jitsu_spark.lake.merge import merge_batch
+    from jitsu_spark.streaming.metrics import statistics_frame
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), schema, "doc_id", n_buckets=4
+    )
+    b0 = spark.createDataFrame(
+        [("a", 1.0, 0, "i"), ("b", 2.0, 1, "i"), ("c", 3.0, 2, "i")],
+        "doc_id string, value double, seq long, op string",
+    )
+    b1 = spark.createDataFrame(
+        [("a", 9.0, 3, "u"), ("b", 0.0, 4, "d")],
+        "doc_id string, value double, seq long, op string",
+    )
+    merge_batch(table, b0, batch_id=0, job_id="jobA")
+    merge_batch(table, b1, batch_id=1, job_id="jobA")
+    # archive lineage to prove the fold reads FULL history
+    compact_manifest(table, keep_lineage=1, keep_recent_batches=0)
+
+    today = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d")
+    stats = {
+        (r["period"], r["job_id"], r["status"]): r["n"]
+        for r in statistics_frame(spark, table).collect()
+    }
+    assert stats[(today, "jobA", "success")] == 4  # 3 + (2 - 1 delete)
+    assert stats[(today, "jobA", "delete")] == 1
+
+    # hour granularity buckets by hour; error rows come from the DLQ dir
+    dlq = os.path.join(tmpdir_path, "dlq")
+    spark.createDataFrame(
+        [("boom", "{}",)], "error string, raw string"
+    ).write.parquet(os.path.join(dlq, "batch_id=0"))
+    hstats = statistics_frame(
+        spark, table, dead_letter_dir=dlq, granularity="hour"
+    ).collect()
+    hkeys = {(r["period"], r["status"]) for r in hstats}
+    hour = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d %H:00")
+    assert (hour, "success") in hkeys
+    errs = [r["n"] for r in hstats if r["status"] == "error"]
+    assert errs == [1]

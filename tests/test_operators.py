@@ -377,3 +377,90 @@ def test_ga_payload_reserved_keys_raise(spark):
     # excluding the colliding column works
     out = ga_payload(df, tracking_id="UA-9", fields=["cid"]).collect()
     assert out[0]["ga_payload"] == "cid=1&tid=UA-9&v=1"
+
+
+def test_transform_preview_matches_real_run(spark, tmpdir_path):
+    """Dry-run contract (handlers/dry_run.go analog): the preview's routed
+    frame, evolution plan, and DDL delta equal the observable state of a
+    REAL merge of the same batch — with nothing committed by the preview."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+    from jitsu_spark.operators.preview import transform_preview
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), schema, "doc_id", n_buckets=4
+    )
+    batch = spark.createDataFrame(
+        [("a", 1.5, "red", 0, "i"), ("b", 2.5, "blue", 1, "i")],
+        "doc_id string, value double, tag string, seq long, op string",
+    )
+
+    v0 = table.snapshot().version
+    prev = transform_preview(
+        batch,
+        destinations={"events": table},
+        table_template="events",
+        transform=lambda df: df.withColumn("value", F.col("value") * 2),
+    )
+    # preview committed NOTHING
+    assert table.snapshot().version == v0
+    tp = prev.tables["events"]
+    assert tp.exists and tp.added == ["tag"] and tp.widened == []
+    assert any("ADD COLUMN" in s and '"tag"' in s for s in tp.ddl)
+    ftypes = {f["field"]: f["sql_type"] for f in tp.fields}
+    from jitsu_spark.lake.export_ddl import column_type
+
+    assert ftypes["tag"] == "text"
+    assert ftypes["value"] == column_type(T.DoubleType(), "postgres")
+    prev_rows = {
+        r["doc_id"]: (r["value"], r["tag"]) for r in tp.frame.collect()
+    }
+
+    # the REAL run: same stages, then merge — outcome must equal preview
+    merge_batch(
+        table,
+        batch.withColumn("value", F.col("value") * 2),
+        batch_id=0,
+        job_id="preview-check",
+    )
+    assert [f.name for f in table.schema().fields] == [
+        f["field"] for f in tp.fields
+    ]
+    real_rows = {
+        r["doc_id"]: (r["value"], r["tag"]) for r in table.read().collect()
+    }
+    assert real_rows == prev_rows == {
+        "a": (3.0, "red"), "b": (5.0, "blue")
+    }
+
+
+def test_transform_preview_new_table_create(spark):
+    """Routing to tables that don't exist previews CREATE DDL per routed
+    name, with per-field SQL types and a sample value."""
+    from jitsu_spark.operators.preview import transform_preview
+
+    batch = spark.createDataFrame(
+        [("a", "click", 1), ("b", "view", 2)],
+        "doc_id string, event_type string, n long",
+    )
+    prev = transform_preview(
+        batch, table_template="ev_{event_type}", key_field="doc_id",
+        dialect="bigquery",
+    )
+    assert set(prev.tables) == {"ev_click", "ev_view"}
+    tp = prev.tables["ev_click"]
+    assert not tp.exists
+    assert tp.ddl[0].startswith("CREATE TABLE")
+    vals = {f["field"]: f["value"] for f in tp.fields}
+    assert vals["event_type"] == "click" and vals["n"] == 1
