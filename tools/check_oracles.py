@@ -11,6 +11,7 @@ import datetime as dt
 import decimal
 import hashlib
 import math
+import os
 import sys
 
 import duckdb
@@ -128,9 +129,10 @@ def main() -> int:
     spark = get_spark(app_name="oracle-check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written table: directory of parts
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
