@@ -34,6 +34,14 @@ At 100 TB: each interval is an independent bounded Spark job whose
 destination write is a stats-pruned ``overwrite_where`` (O(chunk), not
 O(table)); intervals can sync concurrently (optimistic commits), which is
 the reference's 16-task worker pool re-expressed.
+
+This shape also covers the Facebook-Marketing / Google-Play report
+drivers (drivers/facebook_marketing.go:108, google_play.go — same
+day-interval enumeration + lag signature, different dimension/metric
+sets): instantiate with the connector's dims/metrics and a ``lag_days``
+matching its attribution window. Full-snapshot sources (Firebase/Redis)
+use :class:`~jitsu_spark.sources.snapshot_driver.SnapshotCollectionDriver`
+instead.
 """
 
 from __future__ import annotations

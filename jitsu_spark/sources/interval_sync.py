@@ -38,11 +38,16 @@ from jitsu_spark.lake.table import LakeTable
 @dataclass(frozen=True)
 class TimeInterval:
     """One loadable chunk: [lower, upper) as ISO strings; ``id`` is the
-    stable chunk identity (reference: TZ_granularity_time string)."""
+    stable chunk identity (reference: TZ_granularity_time string).
+
+    ``is_all=True`` marks the reference's ALL granularity (full-snapshot
+    sources like Firebase/Redis, drivers/granularity.go:14): the chunk
+    covers the WHOLE table and is re-evaluated on every run."""
 
     id: str
     lower: str  # inclusive, e.g. "2024-01-01 00:00:00"
     upper: str  # exclusive
+    is_all: bool = False
 
 
 class IntervalDriver:
@@ -112,22 +117,31 @@ class IntervalSyncJob:
         for itv in self.driver.available_intervals():
             sig = self.driver.signature(itv)
             stored = state.get(itv.id)
-            if stored == sig:
+            # an ALL interval bypasses the signature gate (reference:
+            # task_executor.go:224 re-syncs on `interval.IsAll()` every
+            # run); the engine's commit manifest still dedupes a re-sync
+            # whose content signature is unchanged (chunk_id embeds it)
+            if stored == sig and not itv.is_all:
                 report.statuses[itv.id] = "UPTODATE"
                 report.skipped.append(itv.id)
                 continue
             report.statuses[itv.id] = "NEW" if stored is None else "REFRESH"
             df = self.driver.read_interval(spark, itv)
-            pred = (
-                F.col(self.ts_col) >= F.lit(itv.lower).cast("timestamp")
-            ) & (F.col(self.ts_col) < F.lit(itv.upper).cast("timestamp"))
+            if itv.is_all:
+                pred = F.lit(True)
+            else:
+                pred = (
+                    F.col(self.ts_col) >= F.lit(itv.lower).cast("timestamp")
+                ) & (F.col(self.ts_col) < F.lit(itv.upper).cast("timestamp"))
             overwrite_where(
                 self.table, df, pred,
                 chunk_id=f"{itv.id}:{sig}", job_id=self.job_id,
                 # files whose ts stats can't intersect [lower, upper) are
                 # kept in place (needs table property write.stats.column;
-                # harmlessly rewrites everything without it)
-                prune=(self.ts_col, itv.lower, itv.upper),
+                # harmlessly rewrites everything without it). An ALL
+                # interval replaces the whole table — nothing to prune.
+                prune=None if itv.is_all
+                else (self.ts_col, itv.lower, itv.upper),
             )
             state[itv.id] = sig
             self._save_state(state)

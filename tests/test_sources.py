@@ -545,3 +545,61 @@ def test_stream_auto_compaction_bounds_files(spark, tmpdir_path):
     # without compaction each bucket would hold ~8 delta files
     assert max(len(es) for es in snap.files.values()) <= 4
     assert any(e.get("kind") == "compact" for e in snap.lineage)
+
+
+def test_snapshot_collection_driver_full_replace(spark, tmpdir_path):
+    """Firebase/Redis-shaped ALL-interval sync: every run re-reads the
+    whole collection; upstream deletes disappear (full replace), and an
+    unchanged content signature is deduped by the commit manifest while
+    the interval still reports REFRESH (reference IsAll semantics)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.sources.interval_sync import IntervalSyncJob
+    from jitsu_spark.sources.snapshot_driver import SnapshotCollectionDriver
+
+    src = os.path.join(tmpdir_path, "collection")
+    spark.createDataFrame(
+        [("k1", "alice"), ("k2", "bob"), ("k3", "carol")],
+        "key string, name string",
+    ).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("_collection_id", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), schema,
+        "_collection_id", n_buckets=4,
+    )
+    drv = SnapshotCollectionDriver(source_path=src, id_col="key", version="v1")
+    job = IntervalSyncJob(
+        t, drv, "_collection_id",
+        os.path.join(tmpdir_path, "state.json"), job_id="fb",
+    )
+
+    r1 = job.run_once(spark)
+    assert r1.statuses == {"ALL": "NEW"} and r1.synced == ["ALL"]
+    assert {r["name"] for r in t.read().collect()} == {"alice", "bob", "carol"}
+
+    # unchanged content: IsAll -> still REFRESH (re-read happens), but the
+    # manifest dedupes the rewrite -> no new table version
+    v = t.snapshot().version
+    r2 = job.run_once(spark)
+    assert r2.statuses == {"ALL": "REFRESH"} and r2.synced == ["ALL"]
+    assert t.snapshot().version == v
+
+    # upstream change incl. a DELETE of k2: full replace semantics
+    spark.createDataFrame(
+        [("k1", "alice2"), ("k3", "carol"), ("k4", "dan")],
+        "key string, name string",
+    ).write.mode("overwrite").parquet(src)
+    drv.version = "v2"
+    job.run_once(spark)
+    rows = {r["_collection_id"]: r["name"] for r in t.read().collect()}
+    assert rows == {"k1": "alice2", "k3": "carol", "k4": "dan"}
