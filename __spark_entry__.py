@@ -909,6 +909,42 @@ def q_interval_source_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 CDC-out through the REAL engine: the change log replays into a
+    MoR upstream table in 3 seq-ordered batches; after every merge a
+    DOWNSTREAM mirror pulls changes() (delta-aware, O(changes) not
+    O(table)) and merges them with commit-version sequencing. A correct
+    incremental mirror is indistinguishable from the upstream final
+    state, so the oracle is the plain final-LWW-state SQL."""
+    from jitsu_spark.lake import LakeTable, sync_mirror
+    from jitsu_spark.lake.merge import merge_batch
+
+    log = _changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    up = LakeTable.create(
+        spark, _scratch("mir_up"), schema, "doc_id", n_buckets=16,
+        properties={"write.mode": "mor"},
+    )
+    dst = LakeTable.create(
+        spark, _scratch("mir_dst"), schema, "doc_id", n_buckets=8
+    )
+    hi = log.agg(F.max("seq")).collect()[0][0] or 0
+    per = hi // 3 + 1
+    for i in range(3):
+        part = log.filter(
+            (F.col("seq") >= i * per) & (F.col("seq") < (i + 1) * per)
+        )
+        merge_batch(up, part, batch_id=i, job_id="mir")
+        sync_mirror(up, dst, job_id="mir-out")
+    return dst.read().select("doc_id", "ts", "value")
+
+
 def q_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistics read API (A5 / the reference's counter re-aggregation):
     replay the change log in 5 batches, then query the engine's OWN
@@ -1050,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_source_sync": q_interval_source_sync,
         "singer_tap_sync": q_singer_tap_sync,
         "stats_rollup": q_stats_rollup,
+        "mirror_sync": q_mirror_sync,
     }
 
 
@@ -1745,6 +1782,9 @@ def oracle_sql() -> dict[str, str]:
     # final LWW state, so the rebucket replay answers the SAME oracle as
     # the plain replay
     out["cdc_replay_rebucket"] = out["cdc_replay_final_state"]
+    # mirror correctness: an incremental changes()-fed mirror must equal
+    # the upstream final state — SAME oracle again
+    out["mirror_sync"] = out["cdc_replay_final_state"]
     out["lsh_bucket_guard"] = """
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS tk FROM documents

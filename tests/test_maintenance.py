@@ -347,3 +347,68 @@ def test_compact_manifest_never_covers_gaps(spark, tmpdir_path):
     # may fold again; just assert correctness of membership
     assert merge_batch(t, batch(spark, [ev(9, "u", "d0", [0])]),
                        batch_id=0, job_id="g").skipped
+
+
+def test_maintenance_commits_retry_on_conflict(spark, tmpdir_path, monkeypatch):
+    """A concurrent merge landing between a maintenance op's snapshot
+    read and its commit must not raise out of the op (it runs inline in
+    foreachBatch): compact_manifest and rebucket re-snapshot and retry,
+    and the racing merge's manifest entry / rows survive the fold."""
+    from jitsu_spark.lake import maintenance
+    from jitsu_spark.lake.maintenance import compact_manifest, full_history
+    from jitsu_spark.lake.merge import is_committed
+
+    t = make_table(spark, tmpdir_path, n_buckets=4)
+    for i in range(5):
+        merge_batch(t, batch(spark, [ev(i, "i", f"k{i}", [i])]), batch_id=i)
+
+    orig = maintenance.md.commit_snapshot
+    fired = {"n": 0}
+    racer = {"bid": 99, "doc": "racer"}
+
+    def race(root, snap):
+        # fire exactly once, only on the maintenance commit itself
+        if (
+            not fired["n"]
+            and snap.lineage
+            and snap.lineage[-1].get("kind") in ("manifest_compact", "rebucket")
+        ):
+            fired["n"] += 1
+            merge_batch(
+                t, batch(spark, [ev(racer["bid"], "i", racer["doc"], [9, 9])]),
+                batch_id=racer["bid"], job_id="race",
+            )
+        return orig(root, snap)
+
+    monkeypatch.setattr(maintenance.md, "commit_snapshot", race)
+    res = compact_manifest(t, keep_lineage=2, keep_recent_batches=1)
+    monkeypatch.setattr(maintenance.md, "commit_snapshot", orig)
+
+    snap = t.snapshot()
+    assert res.version == snap.version  # compaction committed after retry
+    assert fired["n"] == 1
+    # the racing merge survived the recomputed fold
+    assert is_committed(snap, "race", 99)
+    assert is_committed(snap, "stream", 3)  # folded or explicit, still member
+    rows = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert rows["racer"] == [9, 9] and len(rows) == 6
+    # a conflict-retried archive pass must not duplicate history entries
+    hist = full_history(t)
+    versions = [e["version"] for e in hist if "version" in e]
+    assert len(versions) == len(set(versions))
+
+    # same contract for rebucket
+    fired["n"] = 0
+    racer.update(bid=100, doc="racer2")
+    monkeypatch.setattr(maintenance.md, "commit_snapshot", race)
+    # route rebucket's commit through the racing stub too
+    monkeypatch.setattr(
+        type(t), "_commit",
+        lambda self, snap: maintenance.md.commit_snapshot(self.root, snap),
+    )
+    t.rebucket(factor=2)
+    snap2 = t.snapshot()
+    assert snap2.n_buckets == 8 and fired["n"] == 1
+    assert is_committed(snap2, "race", 100)
+    rows2 = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert rows2 == {**rows, "racer2": [9, 9]}
