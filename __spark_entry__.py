@@ -945,6 +945,49 @@ def q_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dst.read().select("doc_id", "ts", "value")
 
 
+def q_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Firebase/Redis-shaped full-snapshot source: ONE ALL-granularity
+    interval re-evaluated per run, whole-table atomic replace, collection
+    id stamped per row. Run twice — the second run re-reads (REFRESH per
+    the reference's IsAll rule) but its unchanged content signature is
+    deduped by the commit manifest. Final table == the collection."""
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.sources.interval_sync import IntervalSyncJob
+    from jitsu_spark.sources.snapshot_driver import SnapshotCollectionDriver
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_collection_id", T.StringType()),
+        ]
+    )
+    root = _scratch("snap_tbl")
+    table = LakeTable.create(
+        spark, root, schema, "_collection_id", n_buckets=8
+    )
+    drv = SnapshotCollectionDriver(
+        source_path=os.path.join(sf_dir, "documents.parquet"),
+        id_col="doc_id",
+        version="v1",
+    )
+    job = IntervalSyncJob(
+        table, drv, "_collection_id",
+        state_path=os.path.join(os.path.dirname(root), "state.json"),
+        job_id="fb-snap",
+    )
+    job.run_once(spark)
+    job.run_once(spark)  # IsAll re-read; manifest dedupes the rewrite
+    # (the driver faithfully returns the whole collection incl. `text`,
+    # which lands via add-only schema evolution; the surface projects the
+    # typed columns)
+    return table.read().select(
+        "doc_id", "lang", "source", "n_chars", "_collection_id"
+    )
+
+
 def q_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistics read API (A5 / the reference's counter re-aggregation):
     replay the change log in 5 batches, then query the engine's OWN
@@ -1087,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "singer_tap_sync": q_singer_tap_sync,
         "stats_rollup": q_stats_rollup,
         "mirror_sync": q_mirror_sync,
+        "snapshot_sync": q_snapshot_sync,
     }
 
 
@@ -1785,6 +1829,12 @@ def oracle_sql() -> dict[str, str]:
     # mirror correctness: an incremental changes()-fed mirror must equal
     # the upstream final state — SAME oracle again
     out["mirror_sync"] = out["cdc_replay_final_state"]
+    # full-snapshot (ALL-interval) sync: destination == the collection
+    out["snapshot_sync"] = """
+        SELECT doc_id, lang, source, n_chars,
+               CAST(doc_id AS VARCHAR) AS _collection_id
+        FROM documents
+    """
     out["lsh_bucket_guard"] = """
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS tk FROM documents
