@@ -72,7 +72,9 @@ def overwrite_where(
 ) -> OverwriteResult:
     """Atomically replace all rows matching ``predicate`` with
     ``replacement`` (which must itself satisfy the predicate's intent —
-    not enforced). Idempotent per (job_id, chunk_id).
+    not enforced). Idempotent per (job_id, chunk_id). Retries on commit
+    conflict (re-snapshot + recompute), so concurrent chunk syncs — the
+    reference's worker pool — interleave safely.
 
     **File-level pruning** (the 100 TB path): the layout is hash-bucketed
     by key, so a time-chunk predicate touches every bucket — but NOT
@@ -86,6 +88,21 @@ def overwrite_where(
     the full rewrite when the table carries MoR delta files (compact
     first).
     """
+    return LakeTable._retry_commit(
+        lambda: _overwrite_where_once(
+            table, replacement, predicate, chunk_id, job_id, prune
+        )
+    )
+
+
+def _overwrite_where_once(
+    table: LakeTable,
+    replacement: DataFrame,
+    predicate: Column,
+    chunk_id: str | None,
+    job_id: str,
+    prune: tuple[str, str, str] | None,
+) -> OverwriteResult:
     import json as J
 
     from pyspark.sql import types as T

@@ -108,12 +108,23 @@ class IntervalSyncJob:
             json.dump(state, f)
         os.replace(tmp, self.state_path)
 
-    def run_once(self, spark: SparkSession) -> SyncReport:
+    def run_once(self, spark: SparkSession, max_workers: int = 1) -> SyncReport:
         """Sync every interval whose signature changed since the last
         run. Each interval is one atomic overwrite; state is saved after
-        each interval so a crash resumes where it left off."""
+        each interval so a crash resumes where it left off.
+
+        ``max_workers > 1`` syncs intervals CONCURRENTLY (the reference
+        executor's worker pool re-expressed): each interval's overwrite
+        commits optimistically and retries on conflict, and the sidecar
+        state is updated under a lock as each interval lands. On failure
+        the completed intervals stay committed — the next run resumes
+        with only the unfinished ones."""
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
         state = self._load_state()
         report = SyncReport()
+        todo: list[tuple[TimeInterval, str]] = []
         for itv in self.driver.available_intervals():
             sig = self.driver.signature(itv)
             stored = state.get(itv.id)
@@ -126,6 +137,12 @@ class IntervalSyncJob:
                 report.skipped.append(itv.id)
                 continue
             report.statuses[itv.id] = "NEW" if stored is None else "REFRESH"
+            todo.append((itv, sig))
+
+        lock = threading.Lock()
+        done: set[str] = set()
+
+        def sync_one(itv: TimeInterval, sig: str) -> None:
             df = self.driver.read_interval(spark, itv)
             if itv.is_all:
                 pred = F.lit(True)
@@ -143,7 +160,20 @@ class IntervalSyncJob:
                 prune=None if itv.is_all
                 else (self.ts_col, itv.lower, itv.upper),
             )
-            state[itv.id] = sig
-            self._save_state(state)
-            report.synced.append(itv.id)
+            with lock:
+                state[itv.id] = sig
+                self._save_state(state)
+                done.add(itv.id)
+
+        if max_workers <= 1:
+            for itv, sig in todo:
+                sync_one(itv, sig)
+                report.synced.append(itv.id)
+        else:
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                futures = [pool.submit(sync_one, itv, sig) for itv, sig in todo]
+                errors = [f.exception() for f in futures if f.exception()]
+            report.synced = [itv.id for itv, _ in todo if itv.id in done]
+            if errors:
+                raise errors[0]
         return report

@@ -603,3 +603,65 @@ def test_snapshot_collection_driver_full_replace(spark, tmpdir_path):
     job.run_once(spark)
     rows = {r["_collection_id"]: r["name"] for r in t.read().collect()}
     assert rows == {"k1": "alice2", "k3": "carol", "k4": "dan"}
+
+
+def test_interval_sync_concurrent_workers(spark, tmpdir_path):
+    """Worker-pool interval sync (the reference's 16-task pool): four
+    threads overwrite-committing into one table race, retry on conflict,
+    and converge to exactly the sequential result."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.sources.ga_driver import GaShapedReportDriver
+    from jitsu_spark.sources.interval_sync import IntervalSyncJob
+
+    src = _ga_fixture(spark, tmpdir_path)
+    schema = T.StructType(
+        [
+            T.StructField("report_id", T.StringType()),
+            T.StructField("report_date", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("sessions", T.LongType()),
+            T.StructField("revenue", T.DecimalType(28, 2)),
+            T.StructField("_time_chunk", T.StringType()),
+            T.StructField("_interval_start", T.TimestampType()),
+            T.StructField("_interval_end", T.TimestampType()),
+        ]
+    )
+
+    def run(mode: str, workers: int):
+        t = LakeTable.create(
+            spark, os.path.join(tmpdir_path, f"tbl_{mode}"), schema,
+            "report_id", n_buckets=4,
+        )
+        drv = GaShapedReportDriver(
+            source_path=src, ts_col="ts", arrival_col="arrival",
+            dimensions=["event_type"],
+            metrics={"sessions": ("count", "*"),
+                     "revenue": ("sum_money", "value")},
+            now="2024-01-06 00:00:00", days_back=6,
+        )
+        job = IntervalSyncJob(
+            t, drv, "report_date",
+            os.path.join(tmpdir_path, f"state_{mode}.json"), job_id="ga",
+        )
+        rep = job.run_once(spark, max_workers=workers)
+        return t, rep
+
+    t_seq, rep_seq = run("seq", 1)
+    t_par, rep_par = run("par", 4)
+    assert set(rep_par.synced) == set(rep_seq.synced) and len(rep_par.synced) == 6
+    rows_seq = {
+        (r["_time_chunk"], r["event_type"]): (r["sessions"], str(r["revenue"]))
+        for r in t_seq.read().collect()
+    }
+    rows_par = {
+        (r["_time_chunk"], r["event_type"]): (r["sessions"], str(r["revenue"]))
+        for r in t_par.read().collect()
+    }
+    assert rows_par == rows_seq and len(rows_par) > 0
+    # every interval's chunk landed exactly once in the manifest
+    committed = [c for c in t_par.snapshot().committed if c.startswith("ga/")]
+    assert len(committed) == len(set(committed)) == 6
