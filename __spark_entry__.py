@@ -945,6 +945,138 @@ def q_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dst.read().select("doc_id", "ts", "value")
 
 
+def q_conditional_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: full intake enrichment with the CONDITIONAL src stamp —
+    api-tagged events keep their src, everything else is overwritten with
+    the intake's src; api_key stamped; _timestamp pinned to event time
+    for deterministic replay."""
+    from jitsu_spark.operators.enrich import with_context_enrichment
+
+    e = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit("api"))
+        .otherwise(F.lit("js"))
+        .alias("src"),
+    )
+    out = with_context_enrichment(
+        e, api_key="key_1", src="s2s", event_time=F.col("ts")
+    )
+    return out.select(
+        "event_id", "event_type", "src", "api_key", "_timestamp"
+    )
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: events written out as messy-headered CSV (spaces, parens,
+    JSON-quoted props, stringified timestamps), read back through the
+    typed CSV reader (header normalization + explicit casts). The oracle
+    reads the same rows straight from parquet — a lossless CSV
+    encode/decode is exactly what the reference's CSV intake promises."""
+    from jitsu_spark.sources import read_csv_typed
+
+    csv_dir = _scratch("csv_src")
+    (
+        _read(spark, sf_dir, "events")
+        .select(
+            F.col("event_id").alias("Event ID"),
+            F.col("event_type").alias("Event Type"),
+            F.col("user_id").alias("User ID"),
+            F.col("value").alias("Value (USD)"),
+            F.col("props").alias("Props"),
+            F.col("ts").cast("string").alias("When TS"),
+        )
+        .coalesce(4)
+        .write.option("header", "true")
+        .csv(csv_dir)
+    )
+    return read_csv_typed(
+        spark, csv_dir,
+        {
+            "event_id": "long",
+            "user_id": "long",
+            "value__usd_": "double",
+            "when_ts": "timestamp",
+        },
+    )
+
+
+def q_fallback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/W11: events wrapped in dead-letter envelopes
+    ``{"event": ..., "error": ...}`` (the fallback file format) and
+    replayed back into typed rows via the envelope parser."""
+    from jitsu_spark.sources import parse_fallback_envelope
+
+    payload = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    enveloped = _read(spark, sf_dir, "events").select(
+        F.to_json(
+            F.struct(
+                F.struct("event_id", "event_type", "value").alias("event"),
+                F.lit("destination unavailable").alias("error"),
+            )
+        ).alias("raw")
+    )
+    return parse_fallback_envelope(enveloped, payload)
+
+
+def q_recognition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST8/J2 retrospective user recognition through the REAL reconciler:
+    every event arrives with an anon id; only signup events carry the
+    real user id. Replayed in 3 seq-ordered batches, anonymous events are
+    recognized in-batch when the identity is already known, parked when
+    not, and reconciled (backfilled into the destination with their
+    ORIGINAL seq) when the signup lands in a later batch. Never-signed-up
+    anons stay parked — absent from the destination. The oracle is the
+    order-free fixpoint: events of any anon group that has a signup,
+    user id filled."""
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.streaming.recognition import UserRecognition
+
+    e = _read(spark, sf_dir, "events")
+    env = e.select(
+        F.col("event_id").alias("seq"),
+        F.lit("i").alias("op"),
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("event_id"),
+        F.concat(F.lit("a"), F.col("user_id").cast("string")).alias("anon_id"),
+        F.when(
+            F.col("event_type") == "signup",
+            F.concat(F.lit("u"), F.col("user_id").cast("string")),
+        ).alias("user_id"),
+        "ts",
+        "value",
+    )
+    dest_schema = T.StructType(
+        [
+            T.StructField("event_id", T.StringType()),
+            T.StructField("anon_id", T.StringType()),
+            T.StructField("user_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = _scratch("recog")
+    dest = LakeTable.create(
+        spark, os.path.join(root, "dest"), dest_schema, "event_id",
+        n_buckets=16,
+    )
+    rec = UserRecognition(spark, root, dest)
+    hi = env.agg(F.max("seq")).collect()[0][0] or 0
+    per = hi // 3 + 1
+    for i in range(3):
+        part = env.filter(
+            (F.col("seq") >= i * per) & (F.col("seq") < (i + 1) * per)
+        )
+        rec.apply_batch(part, batch_id=i)
+    return dest.read().select("event_id", "anon_id", "user_id", "ts", "value")
+
+
 def q_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Firebase/Redis-shaped full-snapshot source: ONE ALL-granularity
     interval re-evaluated per run, whole-table atomic replace, collection
@@ -1131,6 +1263,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_rollup": q_stats_rollup,
         "mirror_sync": q_mirror_sync,
         "snapshot_sync": q_snapshot_sync,
+        "recognition_backfill": q_recognition_backfill,
+        "csv_roundtrip": q_csv_roundtrip,
+        "fallback_replay": q_fallback_replay,
+        "conditional_enrichment": q_conditional_enrichment,
     }
 
 
@@ -1834,6 +1970,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, source, n_chars,
                CAST(doc_id AS VARCHAR) AS _collection_id
         FROM documents
+    """
+    # recognition fixpoint: all events of any anon group with >=1 signup,
+    # user id backfilled; never-signed-up groups stay parked (absent)
+    out["recognition_backfill"] = """
+        WITH e AS (
+            SELECT 'e' || CAST(event_id AS VARCHAR) AS event_id,
+                   'a' || CAST(user_id AS VARCHAR) AS anon_id,
+                   event_type, ts, value
+            FROM events
+        ),
+        ids AS (
+            SELECT DISTINCT anon_id FROM e WHERE event_type = 'signup'
+        )
+        SELECT e.event_id, e.anon_id,
+               'u' || substr(e.anon_id, 2) AS user_id,
+               e.ts, e.value
+        FROM e JOIN ids USING (anon_id)
+    """
+    # lossless CSV roundtrip: messy headers normalize, casts restore types
+    out["csv_roundtrip"] = """
+        SELECT event_id, event_type, user_id,
+               value AS value__usd_, props, ts AS when_ts
+        FROM events
+    """
+    # fallback-envelope replay: the payload survives the wrap/unwrap
+    out["fallback_replay"] = """
+        SELECT event_id, event_type, value FROM events
+    """
+    # conditional src stamp: api-tagged rows keep src, others overwritten
+    out["conditional_enrichment"] = """
+        SELECT event_id, event_type,
+               CASE WHEN event_type = 'error' THEN 'api' ELSE 's2s' END
+                   AS src,
+               'key_1' AS api_key,
+               ts AS _timestamp
+        FROM events
     """
     out["lsh_bucket_guard"] = """
         WITH toks AS (
