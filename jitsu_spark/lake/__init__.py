@@ -4,7 +4,11 @@ from jitsu_spark.lake.export_ddl import (
     create_table_ddl,
     export_ddl,
 )
-from jitsu_spark.lake.maintenance import overwrite_where, vacuum
+from jitsu_spark.lake.maintenance import (
+    expire_snapshots,
+    overwrite_where,
+    vacuum,
+)
 from jitsu_spark.lake.merge import append_batch, merge_batch
 from jitsu_spark.lake.metadata import CommitConflict, Snapshot
 from jitsu_spark.lake.mirror import (
@@ -22,6 +26,7 @@ __all__ = [
     "append_batch",
     "overwrite_where",
     "vacuum",
+    "expire_snapshots",
     "alter_table_ddl",
     "column_type",
     "create_table_ddl",

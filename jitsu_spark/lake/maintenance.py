@@ -218,6 +218,41 @@ def vacuum(
     return deleted
 
 
+def expire_snapshots(table: LakeTable, keep_last: int = 100) -> list[int]:
+    """Delete version DESCRIPTORS older than the newest ``keep_last``
+    (Iceberg expire_snapshots analog). ``compact_manifest`` bounds the
+    SIZE of the current snapshot; this bounds the COUNT of v{N}.json
+    files, which otherwise grows one per commit forever — 10^6 metadata
+    files after 10^6 micro-batches.
+
+    Contract: time travel (``snapshot(v)``) and ``changes()`` ranges
+    reaching below the horizon raise afterwards — sync downstream
+    consumers first (consume-before-expire, the same contract as data
+    compaction and lineage archiving). ``full_history`` is unaffected
+    (lineage lives in the archive + current snapshot, not in old
+    descriptors).
+
+    Safety: never expires at or above the on-disk hint, so the reader
+    roll-forward chain (hint -> v{hint+1} -> ...) stays intact even if
+    the hint is stale from a crashed writer. Returns expired versions."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    current = md.current_version(table.root)
+    try:
+        with open(os.path.join(table.root, "metadata", "version-hint.txt")) as f:
+            hint = int(f.read().strip())
+    except (OSError, ValueError):
+        hint = current
+    horizon = min(current - keep_last + 1, hint)
+    expired: list[int] = []
+    for v in range(0, max(horizon, 0)):
+        p = os.path.join(table.root, "metadata", f"v{v}.json")
+        if os.path.exists(p):
+            os.unlink(p)
+            expired.append(v)
+    return expired
+
+
 @dataclass
 class ManifestCompactResult:
     version: int

@@ -65,6 +65,11 @@ class CdcStreamJob:
     # read amplification of write.mode=mor without blocking every batch.
     compact_every_n_batches: int | None = None
     compact_max_files_per_bucket: int = 8
+    # on the same cadence, additionally expire version DESCRIPTORS older
+    # than this many (None = off, the safe default: changes()/time-travel
+    # consumers below the horizon break — opt in once downstream syncs
+    # are chained via post_commit, which runs first)
+    expire_snapshots_keep: int | None = None
     # post-commit hook, called after every APPLIED (non-skipped) merge and
     # BEFORE any compaction — the seam for chaining downstream incremental
     # consumers (lake.mirror.sync_mirror / sync_aggregate over
@@ -143,9 +148,16 @@ class CdcStreamJob:
                 # batch ids to a watermark + archive old lineage (runs
                 # after post_commit syncs, so changes() consumers are
                 # already past the range being archived)
-                from jitsu_spark.lake.maintenance import compact_manifest
+                from jitsu_spark.lake.maintenance import (
+                    compact_manifest,
+                    expire_snapshots,
+                )
 
                 compact_manifest(self.table)
+                if self.expire_snapshots_keep:
+                    expire_snapshots(
+                        self.table, keep_last=self.expire_snapshots_keep
+                    )
 
     def run_available_now(self, spark: SparkSession, timeout_s: int = 600) -> list[MergeResult]:
         """Replay the current backlog to completion and stop (the batch

@@ -412,3 +412,51 @@ def test_maintenance_commits_retry_on_conflict(spark, tmpdir_path, monkeypatch):
     assert is_committed(snap2, "race", 100)
     rows2 = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
     assert rows2 == {**rows, "racer2": [9, 9]}
+
+
+def test_expire_snapshots_bounds_metadata(spark, tmpdir_path):
+    """Version-descriptor expiry: metadata file count is bounded, the
+    current read path and future commits survive, expired versions lose
+    time travel, and a stale hint floors the horizon (roll-forward chain
+    never breaks)."""
+    from jitsu_spark.lake.maintenance import expire_snapshots
+
+    t = make_table(spark, tmpdir_path, n_buckets=4)
+    for i in range(8):
+        merge_batch(t, batch(spark, [ev(i, "i", f"k{i}", [i])]), batch_id=i)
+    assert t.snapshot().version == 8
+
+    expired = expire_snapshots(t, keep_last=3)
+    assert expired == list(range(6))  # v0..v5 gone; v6,v7,v8 retained
+    md_dir = os.path.join(t.root, "metadata")
+    vfiles = sorted(f for f in os.listdir(md_dir) if f.startswith("v"))
+    assert vfiles == ["v6.json", "v7.json", "v8.json", "version-hint.txt"]
+
+    # live read + time travel inside the horizon still work
+    assert t.read().count() == 8
+    assert t.snapshot(6).version == 6
+    # beyond the horizon: gone
+    try:
+        t.snapshot(2)
+        raise AssertionError("expected expired snapshot to be unreadable")
+    except FileNotFoundError:
+        pass
+
+    # commits continue normally after expiry
+    merge_batch(t, batch(spark, [ev(99, "i", "k99", [9])]), batch_id=99)
+    assert t.snapshot().version == 9 and t.read().count() == 9
+
+    # stale-hint safety: wind the hint back, expire aggressively. The
+    # expiry's current_version() call first repairs the hint by rolling
+    # forward (so expiring up to v8 is safe — the chain restarts at the
+    # repaired hint); had the repair failed, the horizon would floor at
+    # the stale hint instead. Either way the chain stays intact.
+    hint_path = os.path.join(md_dir, "version-hint.txt")
+    with open(hint_path, "w") as f:
+        f.write("7")
+    expired2 = expire_snapshots(t, keep_last=1)
+    with open(hint_path) as f:
+        hint_now = int(f.read().strip())
+    assert expired2 == list(range(6, hint_now))  # everything below the hint
+    assert t.snapshot().version == 9
+    assert t.read().count() == 9

@@ -538,6 +538,7 @@ def test_stream_auto_compaction_bounds_files(spark, tmpdir_path):
         job_id="autocompact",
         compact_every_n_batches=3,
         compact_max_files_per_bucket=2,
+        expire_snapshots_keep=5,
     )
     job.run_available_now(spark)
     assert_matches_oracle(table.read(), expected)
@@ -545,6 +546,13 @@ def test_stream_auto_compaction_bounds_files(spark, tmpdir_path):
     # without compaction each bucket would hold ~8 delta files
     assert max(len(es) for es in snap.files.values()) <= 4
     assert any(e.get("kind") == "compact" for e in snap.lineage)
+    # in-stream snapshot expiry bounds the version-descriptor count too
+    # (8 merges + compactions would otherwise leave >12 v*.json files)
+    vfiles = [
+        f for f in os.listdir(os.path.join(table.root, "metadata"))
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    assert len(vfiles) <= 7
 
 
 def test_snapshot_collection_driver_full_replace(spark, tmpdir_path):
