@@ -673,3 +673,54 @@ def test_interval_sync_concurrent_workers(spark, tmpdir_path):
     # every interval's chunk landed exactly once in the manifest
     committed = [c for c in t_par.snapshot().committed if c.startswith("ga/")]
     assert len(committed) == len(set(committed)) == 6
+
+
+def test_singer_tap_crash_between_merge_and_state_save(spark, tmpdir_path):
+    """The OTHER crash window: a portion's merge commits but the state
+    save dies. The resumed tap re-emits that portion; its deterministic
+    batch id hits the commit manifest and the re-merge is skipped — the
+    two idempotency layers mean no duplicates either way."""
+    import os
+    import sys
+
+    from jitsu_spark.sources.singer_tap import SingerTapJob
+
+    tap = os.path.join(tmpdir_path, "tap.py")
+    with open(tap, "w") as f:
+        f.write(_TAP_SCRIPT)
+    job = SingerTapJob(
+        spark=spark,
+        tap_cmd=[sys.executable, tap],
+        work_dir=os.path.join(tmpdir_path, "work"),
+        tables_root=os.path.join(tmpdir_path, "tables"),
+        job_id="singer-ms",
+    )
+    orig_save = job._save_state
+    calls = {"n": 0}
+
+    def flaky(state_json):
+        if calls["n"] == 1:
+            raise OSError("simulated disk-full on state save")
+        calls["n"] += 1
+        orig_save(state_json)
+
+    job._save_state = flaky
+    try:
+        job.run_once()
+        raise AssertionError("expected state-save crash")
+    except OSError:
+        pass
+    # portion 0 committed state; portion 1 merged but its bookmark is lost
+    assert json.loads(job.committed_state()) == {"bookmark": 1}
+
+    job._save_state = orig_save
+    rep = job.run_once()  # tap re-emits chunks 1..3; chunk 1 re-merge skips
+    assert rep.tap_exit_code == 0 and rep.portions == 3
+    assert rep.records["users"] == 10  # chunks 2+3 merged; chunk 1 skipped
+    rows = {
+        r["id"]: (r["name"], r["balance"])
+        for r in job.tables["users"].read().collect()
+    }
+    assert rows == _expected_users()
+    allrows = job.tables["users"].read().collect()
+    assert len(allrows) == len({r["event_id"] for r in allrows}) == 12

@@ -369,3 +369,60 @@ def test_stream_survives_mid_stream_rebucket(spark, tmpdir_path):
     assert_matches_oracle(table.read(), expected)
     # post-resize merges landed in the grown bucket space
     assert set(map(int, table.snapshot().files)) <= set(range(16))
+
+
+def test_bootstrap_snapshot_then_tail(spark, tmpdir_path):
+    """Debezium-style initial load: bulk-append a consistent snapshot at a
+    log watermark, then tail the FULL log with the watermark filter — the
+    final state equals replaying the whole log from scratch; a re-run
+    bootstrap is a manifest no-op and the tail resumes idempotently."""
+    from jitsu_spark.streaming import bootstrap_snapshot, tail_filter
+
+    log = changelog_df(spark, n_events=2000, n_docs=150, seed=29)
+    rows = [r.asDict(recursive=True) for r in log.collect()]
+    expected = dict_replay(rows)
+
+    watermark = 999
+    snap_state = dict_replay([r for r in rows if r["seq"] <= watermark])
+    snap_rows = [
+        {"doc_id": k, **v} for k, v in snap_state.items()
+    ]
+    snapshot_df = spark.createDataFrame(snap_rows, TARGET_SCHEMA)
+
+    src = os.path.join(tmpdir_path, "log")
+    _write_log_chunks(log, src, [1000, 2000])
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), TARGET_SCHEMA, "doc_id",
+        n_buckets=8,
+    )
+
+    r1 = bootstrap_snapshot(table, snapshot_df, watermark, job_id="boot")
+    assert not r1.skipped
+    assert table.read().count() == len(snap_rows)
+    # idempotent: crashed-and-rerun bootstrap loads exactly once
+    r2 = bootstrap_snapshot(table, snapshot_df, watermark, job_id="boot")
+    assert r2.skipped
+
+    job = CdcStreamJob(
+        table=table,
+        source_dir=src,
+        checkpoint_dir=os.path.join(tmpdir_path, "ckpt"),
+        source_schema=CHANGELOG_SCHEMA,
+        max_files_per_trigger=1,
+        job_id="boot",
+        transform=tail_filter(watermark),
+    )
+    job.run_available_now(spark)
+    assert_matches_oracle(table.read(), expected)
+
+    # restart with the same checkpoint: nothing new, nothing applied
+    job2 = CdcStreamJob(
+        table=table,
+        source_dir=src,
+        checkpoint_dir=os.path.join(tmpdir_path, "ckpt"),
+        source_schema=CHANGELOG_SCHEMA,
+        job_id="boot",
+        transform=tail_filter(watermark),
+    )
+    job2.run_available_now(spark)
+    assert_matches_oracle(table.read(), expected)
