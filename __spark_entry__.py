@@ -945,6 +945,46 @@ def q_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dst.read().select("doc_id", "ts", "value")
 
 
+def q_bootstrap_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC initial load: a consistent snapshot at the log midpoint is
+    bulk-appended (no LWW, O(snapshot) write-only), then the tail of the
+    log (seq > watermark) merges normally. Final state must equal a
+    from-scratch replay — the plain final-LWW-state oracle."""
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+    from jitsu_spark.streaming import bootstrap_snapshot, tail_filter
+
+    log = _changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, _scratch("boot"), schema, "doc_id", n_buckets=16
+    )
+    hi = log.agg(F.max("seq")).collect()[0][0] or 0
+    wm = hi // 2
+    winner = F.max_by(
+        F.struct("ts", "value", F.col("op").alias("_op")), F.col("seq")
+    ).alias("_w")
+    snapshot = (
+        log.filter(F.col("seq") <= wm)
+        .groupBy("doc_id")
+        .agg(winner)
+        .select("doc_id", "_w.*")
+        .filter(F.col("_op") != "d")
+        .drop("_op")
+    )
+    bootstrap_snapshot(table, snapshot, wm, job_id="boot-entry")
+    merge_batch(
+        table, tail_filter(wm)(log), batch_id="tail", job_id="boot-entry"
+    )
+    return table.read().select("doc_id", "ts", "value")
+
+
 def q_conditional_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P13: full intake enrichment with the CONDITIONAL src stamp —
     api-tagged events keep their src, everything else is overwritten with
@@ -1267,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         "fallback_replay": q_fallback_replay,
         "conditional_enrichment": q_conditional_enrichment,
+        "bootstrap_tail": q_bootstrap_tail,
     }
 
 
@@ -1965,6 +2006,8 @@ def oracle_sql() -> dict[str, str]:
     # mirror correctness: an incremental changes()-fed mirror must equal
     # the upstream final state — SAME oracle again
     out["mirror_sync"] = out["cdc_replay_final_state"]
+    # bootstrap + tail must be replay-equivalent
+    out["bootstrap_tail"] = out["cdc_replay_final_state"]
     # full-snapshot (ALL-interval) sync: destination == the collection
     out["snapshot_sync"] = """
         SELECT doc_id, lang, source, n_chars,
