@@ -253,6 +253,30 @@ def expire_snapshots(table: LakeTable, keep_last: int = 100) -> list[int]:
     return expired
 
 
+def expire_snapshots_safe(
+    table: LakeTable,
+    consumers: list[tuple[LakeTable, str]],
+    keep_last: int = 100,
+) -> list[int]:
+    """Consumer-aware :func:`expire_snapshots`: floor the horizon at every
+    registered downstream cursor (a mirror/aggregate's
+    ``last_synced_version``), so a lagging consumer's next ``changes()``
+    window is never expired out from under it. ``consumers`` is a list of
+    ``(destination_table, job_id)`` pairs — the same identifiers their
+    ``sync_mirror``/``sync_aggregate`` calls use."""
+    from jitsu_spark.lake.mirror import last_synced_version
+
+    current = md.current_version(table.root)
+    floor = min(
+        (last_synced_version(dst, job_id) for dst, job_id in consumers),
+        default=current,
+    )
+    # horizon = current - keep_last + 1 must stay <= floor
+    return expire_snapshots(
+        table, keep_last=max(keep_last, current - floor + 1)
+    )
+
+
 @dataclass
 class ManifestCompactResult:
     version: int

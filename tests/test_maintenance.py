@@ -460,3 +460,41 @@ def test_expire_snapshots_bounds_metadata(spark, tmpdir_path):
     assert expired2 == list(range(6, hint_now))  # everything below the hint
     assert t.snapshot().version == 9
     assert t.read().count() == 9
+
+
+def test_expire_snapshots_safe_respects_consumer_cursors(spark, tmpdir_path):
+    """Consumer-aware expiry floors the horizon at the laggiest mirror's
+    sync cursor: its next changes() window survives, and once it catches
+    up the old descriptors become expirable."""
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake import sync_mirror
+    from jitsu_spark.lake.maintenance import expire_snapshots_safe
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "up"), TARGET_SCHEMA, "doc_id",
+        n_buckets=4, properties={"write.mode": "mor"},
+    )
+    dst = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "mirror"), TARGET_SCHEMA,
+        "doc_id", n_buckets=4,
+    )
+    merge_batch(t, batch(spark, [ev(0, "i", "k0", [0])]), batch_id=0)
+    sync_mirror(t, dst, job_id="m")  # cursor -> v1
+    for i in range(1, 6):
+        merge_batch(t, batch(spark, [ev(i, "i", f"k{i}", [i])]), batch_id=i)
+    assert t.snapshot().version == 6
+
+    # aggressive expiry request, but the mirror sits at v1: nothing below
+    # the cursor's window may go
+    expired = expire_snapshots_safe(t, [(dst, "m")], keep_last=1)
+    assert expired == [0]  # v1..v6 all retained for the consumer
+    # the lagging mirror can still catch up exactly
+    sync_mirror(t, dst, job_id="m")
+    assert {r["doc_id"] for r in dst.read().collect()} == {
+        f"k{i}" for i in range(6)
+    }
+    # caught up (cursor -> v6): old descriptors now expirable
+    expired2 = expire_snapshots_safe(t, [(dst, "m")], keep_last=1)
+    assert expired2 == list(range(1, 6))
+    assert t.read().count() == 6

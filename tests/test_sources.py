@@ -724,3 +724,71 @@ def test_singer_tap_crash_between_merge_and_state_save(spark, tmpdir_path):
     assert rows == _expected_users()
     allrows = job.tables["users"].read().collect()
     assert len(allrows) == len({r["event_id"] for r in allrows}) == 12
+
+
+_EVOLVING_TAP = r'''
+import argparse, json
+
+p = argparse.ArgumentParser()
+p.add_argument("-c", "--config", default=None)
+p.add_argument("--state", default=None)
+a = p.parse_args()
+start = 0
+if a.state:
+    with open(a.state) as f:
+        start = json.load(f).get("bookmark", 0)
+schema_v1 = {"properties": {"id": {"type": "integer"},
+                            "name": {"type": "string"}}}
+schema_v2 = {"properties": {"id": {"type": "integer"},
+                            "name": {"type": "string"},
+                            "tier": {"type": "string"}}}
+if start < 1:
+    print(json.dumps({"type": "SCHEMA", "stream": "users",
+                      "schema": schema_v1, "key_properties": ["id"]}))
+    for i in range(3):
+        print(json.dumps({"type": "RECORD", "stream": "users",
+                          "record": {"id": i, "name": "n%d" % i}}))
+    print(json.dumps({"type": "STATE", "value": {"bookmark": 1}}))
+if start < 2:
+    # upstream evolved: SCHEMA v2 adds `tier`, records carry it
+    print(json.dumps({"type": "SCHEMA", "stream": "users",
+                      "schema": schema_v2, "key_properties": ["id"]}))
+    for i in range(2, 5):
+        print(json.dumps({"type": "RECORD", "stream": "users",
+                          "record": {"id": i, "name": "m%d" % i,
+                                     "tier": "t%d" % (i % 2)}}))
+    print(json.dumps({"type": "STATE", "value": {"bookmark": 2}}))
+'''
+
+
+def test_singer_tap_mid_stream_schema_evolution(spark, tmpdir_path):
+    """A SCHEMA message between portions widens the stream: the new
+    column lands via the lake's add-only evolution, earlier rows read
+    back NULL for it, and overlapping keys are upserted by the md5 key
+    hash (id 2 appears in both portions — v2 wins by emission order)."""
+    import os
+    import sys
+
+    from jitsu_spark.sources.singer_tap import SingerTapJob
+
+    tap = os.path.join(tmpdir_path, "tap.py")
+    with open(tap, "w") as f:
+        f.write(_EVOLVING_TAP)
+    job = SingerTapJob(
+        spark=spark,
+        tap_cmd=[sys.executable, tap],
+        work_dir=os.path.join(tmpdir_path, "work"),
+        tables_root=os.path.join(tmpdir_path, "tables"),
+        job_id="singer-evo",
+    )
+    rep = job.run_once()
+    assert rep.tap_exit_code == 0 and rep.portions == 2
+    t = job.tables["users"]
+    assert [f.name for f in t.schema().fields] == [
+        "event_id", "id", "name", "src", "tier"
+    ]
+    rows = {r["id"]: (r["name"], r["tier"]) for r in t.read().collect()}
+    assert rows == {
+        0: ("n0", None), 1: ("n1", None),          # v1 rows: tier NULL
+        2: ("m2", "t0"), 3: ("m3", "t1"), 4: ("m4", "t0"),  # v2 upserts
+    }
