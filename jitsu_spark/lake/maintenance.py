@@ -69,12 +69,14 @@ def overwrite_where(
     chunk_id: str | None = None,
     job_id: str = "sync",
     prune: tuple[str, str, str] | None = None,
+    max_commit_retries: int = 5,
 ) -> OverwriteResult:
     """Atomically replace all rows matching ``predicate`` with
     ``replacement`` (which must itself satisfy the predicate's intent —
     not enforced). Idempotent per (job_id, chunk_id). Retries on commit
     conflict (re-snapshot + recompute), so concurrent chunk syncs — the
-    reference's worker pool — interleave safely.
+    reference's worker pool — interleave safely; size
+    ``max_commit_retries`` to at least the number of racing writers.
 
     **File-level pruning** (the 100 TB path): the layout is hash-bucketed
     by key, so a time-chunk predicate touches every bucket — but NOT
@@ -91,7 +93,8 @@ def overwrite_where(
     return LakeTable._retry_commit(
         lambda: _overwrite_where_once(
             table, replacement, predicate, chunk_id, job_id, prune
-        )
+        ),
+        max_commit_retries=max_commit_retries,
     )
 
 
@@ -244,13 +247,21 @@ def expire_snapshots(table: LakeTable, keep_last: int = 100) -> list[int]:
     except (OSError, ValueError):
         hint = current
     horizon = min(current - keep_last + 1, hint)
+    # enumerate what actually exists (O(retained + expirable) per call)
+    # instead of probing every version number since 0 (O(stream age))
+    md_dir = os.path.join(table.root, "metadata")
     expired: list[int] = []
-    for v in range(0, max(horizon, 0)):
-        p = os.path.join(table.root, "metadata", f"v{v}.json")
-        if os.path.exists(p):
-            os.unlink(p)
+    for fn in os.listdir(md_dir):
+        if not (fn.startswith("v") and fn.endswith(".json")):
+            continue
+        try:
+            v = int(fn[1:-5])
+        except ValueError:
+            continue
+        if v < horizon:
+            os.unlink(os.path.join(md_dir, fn))
             expired.append(v)
-    return expired
+    return sorted(expired)
 
 
 def expire_snapshots_safe(

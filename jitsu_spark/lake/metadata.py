@@ -110,6 +110,33 @@ def current_version(root: str) -> int:
     with open(_hint_path(root)) as f:
         v = int(f.read().strip())
     hint = v
+    if not os.path.exists(_version_path(root, v)):
+        # the hint points at an EXPIRED descriptor: a stalled repairer can
+        # regress the hint below expire_snapshots' horizon after the old
+        # descriptors are deleted. Recover by scanning the metadata dir
+        # for the newest complete descriptor and restarting the
+        # roll-forward there — only this broken case pays the listdir.
+        versions = []
+        for fn in os.listdir(_metadata_dir(root)):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    versions.append(int(fn[1:-5]))
+                except ValueError:
+                    continue
+        live = [n for n in sorted(versions, reverse=True) if n > v]
+        for n in live:
+            try:
+                with open(_version_path(root, n)) as f:
+                    Snapshot.from_json(f.read())
+            except (OSError, ValueError, TypeError, KeyError):
+                continue  # incomplete claim
+            v = n
+            break
+        else:
+            raise FileNotFoundError(
+                f"no complete snapshot descriptor at or above hint {hint} "
+                f"in {_metadata_dir(root)}"
+            )
     while True:
         nxt = _version_path(root, v + 1)
         if not os.path.exists(nxt):

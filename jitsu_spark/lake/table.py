@@ -370,13 +370,20 @@ class LakeTable:
         contract as merge_batch's loop): on CommitConflict re-snapshot and
         recompute the whole op. Without this a conflict raised out of a
         maintenance call inside foreachBatch (the runner compacts inline)
-        kills the stream even though the op is safely repeatable."""
+        kills the stream even though the op is safely repeatable.
+
+        A short linearly-growing sleep between attempts de-synchronizes
+        racing workers (N writers racing the same version otherwise retry
+        in lockstep and one can starve through the whole budget)."""
+        import time as _time
+
         last: CommitConflict | None = None
-        for _ in range(max_commit_retries):
+        for attempt in range(max_commit_retries):
             try:
                 return fn()
             except CommitConflict as e:
                 last = e
+                _time.sleep(0.05 * attempt)
         raise last  # type: ignore[misc]
 
     # -- per-file column stats (Iceberg-manifest-style pruning metadata) ----

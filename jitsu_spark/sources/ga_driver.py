@@ -125,12 +125,17 @@ class GaShapedReportDriver(IntervalDriver):
                 raise ValueError(f"unknown metric agg {agg!r}")
         rep = df.groupBy(*self.dimensions).agg(*aggs)
         dim_cols = sorted(self.dimensions)
+        # NULL-safe, delimiter-safe id: concat_ws skips NULLs, so two
+        # dimension tuples differing only in NULL position would collide
+        # into one merge key; to_json keeps nulls and escapes delimiters
         return rep.select(
             F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(interval.id),
-                    *[F.col(d).cast("string") for d in dim_cols],
+                F.to_json(
+                    F.struct(
+                        F.lit(interval.id).alias("_chunk"),
+                        *[F.col(d).cast("string").alias(d) for d in dim_cols],
+                    ),
+                    {"ignoreNullFields": "false"},
                 )
             ).alias("report_id"),
             F.lit(interval.lower).cast("timestamp").alias("report_date"),

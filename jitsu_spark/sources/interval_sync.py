@@ -159,6 +159,10 @@ class IntervalSyncJob:
                 # interval replaces the whole table — nothing to prune.
                 prune=None if itv.is_all
                 else (self.ts_col, itv.lower, itv.upper),
+                # worst case every other worker lands one commit while
+                # this one recomputes — budget a retry per peer, plus
+                # the single-writer default
+                max_commit_retries=5 + 2 * max(max_workers - 1, 0),
             )
             with lock:
                 state[itv.id] = sig

@@ -152,11 +152,22 @@ class SingerTapJob:
         self.tables[stream] = t
         return t
 
-    def _apply_portion(self, lines: list[str], portion_no: int) -> dict[str, int]:
+    def _apply_portion(
+        self, lines: list[str], portion_no: int, data_sig: str
+    ) -> dict[str, int]:
         """Parse one portion columnar-ly and MERGE each stream's records.
 
         Record order within the portion provides the LWW sequence (a later
-        record for the same key wins — Singer's replication semantic)."""
+        record for the same key wins — Singer's replication semantic).
+
+        ``data_sig`` is the portion's identity: md5 over the starting
+        bookmark plus every RECORD/STATE line (SCHEMA lines excluded —
+        their placement varies across resumed runs). Two different
+        portions that close on an identical STATE line (heartbeat
+        bookmarks) get DIFFERENT ids and both apply, while a
+        crash-redelivered portion (same bookmark, same data from a
+        deterministic tap) gets the SAME id and is skipped by the commit
+        manifest."""
         spool = os.path.join(self.work_dir, "spool", f"p{portion_no:06d}.jsonl")
         os.makedirs(os.path.dirname(spool), exist_ok=True)
         with open(spool + ".tmp", "w") as f:
@@ -179,9 +190,7 @@ class SingerTapJob:
             r["stream"]
             for r in msgs.records.select("stream").distinct().collect()
         ]
-        state_sig = hashlib.md5(
-            (lines[-1] if lines else "").encode()
-        ).hexdigest()[:16]
+        state_sig = data_sig
         for stream in sorted(present):
             meta = self.streams.get(stream)
             if meta is None:
@@ -217,13 +226,20 @@ class SingerTapJob:
                 )
             # deterministic id: md5 over the key fields (or the whole
             # record when the stream declares none) — uuid.GetKeysHash
-            # analog (sorted keys, "v|" concatenation)
+            # analog with sorted keys, but NULL-safe and delimiter-safe:
+            # concat_ws silently skips NULLs, so ("1", NULL) and
+            # (NULL, "1") would collide and LWW would destroy a row.
+            # to_json with ignoreNullFields=false keeps nulls and escapes
+            # delimiters.
             key_cols = sorted(meta.key_properties) or sorted(
                 f.name for f in meta.schema.fields
             )
             evid = F.md5(
-                F.concat_ws(
-                    "|", *[F.col(c).cast("string") for c in key_cols]
+                F.to_json(
+                    F.struct(
+                        *[F.col(c).cast("string").alias(c) for c in key_cols]
+                    ),
+                    {"ignoreNullFields": "false"},
                 )
             )
             batch = good.select(
@@ -260,6 +276,12 @@ class SingerTapJob:
         )
         pending: list[str] = []
         pending_has_records = False
+
+        # portion identity digest: starting bookmark + RECORD/STATE lines
+        def fresh_digest(base: str | None):
+            return hashlib.md5((base or "").encode())
+
+        digest = fresh_digest(state)
         try:
             assert proc.stdout is not None
             for line in proc.stdout:
@@ -272,16 +294,27 @@ class SingerTapJob:
                     mtype = json.loads(line).get("type")
                     is_state = mtype == "STATE"
                     pending_has_records |= mtype == "RECORD"
+                    if mtype in ("RECORD", "STATE"):
+                        digest.update(b"\x00")
+                        digest.update(line.encode())
                 except ValueError:
                     pass  # non-JSON chatter: dead-letters in the parser
                 if is_state or len(pending) >= self.max_portion_lines:
-                    counts = self._apply_portion(pending, report.portions)
+                    counts = self._apply_portion(
+                        pending, report.portions, digest.hexdigest()[:16]
+                    )
                     for s, n in counts.items():
                         report.records[s] = report.records.get(s, 0) + n
                     if is_state:
                         st = json.dumps(json.loads(line).get("value"))
                         self._save_state(st)
                         report.final_state = st
+                        digest = fresh_digest(st)
+                    # a max_portion_lines cut keeps ACCUMULATING into the
+                    # same digest: successive cuts of one oversized window
+                    # get distinct cumulative ids (identical-content cuts
+                    # cannot collide), and a redelivered run reproduces
+                    # the same prefix ids, so the manifest still skips
                     report.portions += 1
                     pending = []
                     pending_has_records = False
@@ -298,7 +331,9 @@ class SingerTapJob:
             # trailing records after the last STATE: store them; their
             # redelivery on the next run is absorbed by the batch-id skip
             # (deterministic tap) or the idempotent LWW merge
-            counts = self._apply_portion(pending, report.portions)
+            counts = self._apply_portion(
+                pending, report.portions, digest.hexdigest()[:16]
+            )
             for s, n in counts.items():
                 report.records[s] = report.records.get(s, 0) + n
             report.portions += 1

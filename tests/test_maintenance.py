@@ -498,3 +498,28 @@ def test_expire_snapshots_safe_respects_consumer_cursors(spark, tmpdir_path):
     expired2 = expire_snapshots_safe(t, [(dst, "m")], keep_last=1)
     assert expired2 == list(range(1, 6))
     assert t.read().count() == 6
+
+
+def test_regressed_hint_below_expiry_horizon_self_heals(spark, tmpdir_path):
+    """The r4 review's wedge scenario: a stalled hint repairer regresses
+    the hint to a version whose descriptor expire_snapshots has already
+    deleted. Readers must recover (scan for the newest complete
+    descriptor) instead of failing forever on the missing file."""
+    from jitsu_spark.lake import metadata as md
+    from jitsu_spark.lake.maintenance import expire_snapshots
+
+    t = make_table(spark, tmpdir_path, n_buckets=4)
+    for i in range(6):
+        merge_batch(t, batch(spark, [ev(i, "i", f"k{i}", [i])]), batch_id=i)
+    expire_snapshots(t, keep_last=2)  # v5, v6 remain
+
+    # stalled repairer wakes up and writes a long-dead hint value
+    hint_path = os.path.join(t.root, "metadata", "version-hint.txt")
+    with open(hint_path, "w") as f:
+        f.write("2")
+
+    assert md.current_version(t.root) == 6  # recovered, not FileNotFound
+    assert t.read().count() == 6
+    # and the table accepts new commits afterwards
+    merge_batch(t, batch(spark, [ev(9, "i", "k9", [9])]), batch_id=9)
+    assert t.snapshot().version == 7 and t.read().count() == 7

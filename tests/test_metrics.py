@@ -98,13 +98,23 @@ def test_statistics_frame_counters(spark, tmpdir_path):
     # archive lineage to prove the fold reads FULL history
     compact_manifest(table, keep_lineage=1, keep_recent_batches=0)
 
-    today = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d")
+    # derive the expected bucket from the lineage stamp itself (reading
+    # the wall clock again here would flake across a midnight boundary)
+    from jitsu_spark.lake.maintenance import full_history
+
+    ts_ms = [e["ts_ms"] for e in full_history(table) if e.get("kind") == "merge"]
+    periods = {
+        dt.datetime.fromtimestamp(t / 1000, dt.timezone.utc).strftime("%Y-%m-%d")
+        for t in ts_ms
+    }
     stats = {
         (r["period"], r["job_id"], r["status"]): r["n"]
         for r in statistics_frame(spark, table).collect()
     }
-    assert stats[(today, "jobA", "success")] == 4  # 3 + (2 - 1 delete)
-    assert stats[(today, "jobA", "delete")] == 1
+    assert sum(
+        stats.get((p, "jobA", "success"), 0) for p in periods
+    ) == 4  # 3 + (2 - 1 delete)
+    assert sum(stats.get((p, "jobA", "delete"), 0) for p in periods) == 1
 
     # hour granularity buckets by hour; error rows come from the DLQ dir
     dlq = os.path.join(tmpdir_path, "dlq")
@@ -115,7 +125,12 @@ def test_statistics_frame_counters(spark, tmpdir_path):
         spark, table, dead_letter_dir=dlq, granularity="hour"
     ).collect()
     hkeys = {(r["period"], r["status"]) for r in hstats}
-    hour = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d %H:00")
-    assert (hour, "success") in hkeys
+    hours = {
+        dt.datetime.fromtimestamp(t / 1000, dt.timezone.utc).strftime(
+            "%Y-%m-%d %H:00"
+        )
+        for t in ts_ms
+    }
+    assert any((h, "success") in hkeys for h in hours)
     errs = [r["n"] for r in hstats if r["status"] == "error"]
     assert errs == [1]

@@ -792,3 +792,41 @@ def test_singer_tap_mid_stream_schema_evolution(spark, tmpdir_path):
         0: ("n0", None), 1: ("n1", None),          # v1 rows: tier NULL
         2: ("m2", "t0"), 3: ("m3", "t1"), 4: ("m4", "t0"),  # v2 upserts
     }
+
+
+def test_singer_tap_heartbeat_states_do_not_collide(spark, tmpdir_path):
+    """Two different portions closing on IDENTICAL STATE lines (heartbeat
+    bookmarks) must both apply: the portion id covers the starting
+    bookmark + full content, not just the closing line (the r4 review
+    found the closing-line-only id silently skipped the second portion)."""
+    import os
+    import sys
+
+    from jitsu_spark.sources.singer_tap import SingerTapJob
+
+    tap = os.path.join(tmpdir_path, "tap.py")
+    with open(tap, "w") as f:
+        f.write(r'''
+import json
+print(json.dumps({"type": "SCHEMA", "stream": "users",
+                  "schema": {"properties": {"id": {"type": "integer"},
+                                            "name": {"type": "string"}}},
+                  "key_properties": ["id"]}))
+print(json.dumps({"type": "RECORD", "stream": "users",
+                  "record": {"id": 1, "name": "a"}}))
+print(json.dumps({"type": "STATE", "value": {"hb": 0}}))
+print(json.dumps({"type": "RECORD", "stream": "users",
+                  "record": {"id": 2, "name": "b"}}))
+print(json.dumps({"type": "STATE", "value": {"hb": 0}}))  # identical line
+''')
+    job = SingerTapJob(
+        spark=spark,
+        tap_cmd=[sys.executable, tap],
+        work_dir=os.path.join(tmpdir_path, "work"),
+        tables_root=os.path.join(tmpdir_path, "tables"),
+        job_id="singer-hb",
+    )
+    rep = job.run_once()
+    assert rep.portions == 2
+    rows = {r["id"]: r["name"] for r in job.tables["users"].read().collect()}
+    assert rows == {1: "a", 2: "b"}  # BOTH portions landed
