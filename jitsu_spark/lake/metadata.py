@@ -152,29 +152,55 @@ def current_version(root: str) -> int:
     return v
 
 
-def _repair_hint(root: str, read_hint: int, rolled_v: int) -> None:
-    """Opportunistically advance the hint to ``rolled_v``, best effort.
+def _write_hint(root: str, version: int, blocking: bool) -> None:
+    """Advance the hint to ``version`` iff that moves it FORWARD, under an
+    exclusive flock so concurrent committers and repairers serialize.
 
-    Per-repairer tmp name (concurrent repairers never clobber each other's
-    tmp files) and a re-check of the hint immediately before the swap — a
-    concurrent commit_snapshot may have advanced it past our rolled-forward
-    value. The re-check NARROWS the regression window but is not atomic
-    (no lock around read+replace): a commit landing between the re-check
-    and os.replace can still briefly regress the hint. That is safe — the
-    hint is advisory and every reader re-runs the roll-forward loop in
-    ``current_version`` — so a transient stale hint costs a few extra
-    stat() calls, never a wrong answer."""
-    try:
-        tmp = f"{_hint_path(root)}.tmp.{os.getpid()}.{id(object())}"
-        with open(tmp, "w") as f:
-            f.write(str(rolled_v))
-        with open(_hint_path(root)) as f:
-            current = int(f.read().strip())
-        if current <= read_hint:
+    The hint is advisory, but serialized monotone writes give two
+    guarantees the previous unlocked read-check-replace could not:
+    (1) a stale hint is always BEHIND the truth (readers roll forward
+    cheaply; combined with expire_snapshots' hint floor, a descriptor the
+    hint points at is never deleted), and (2) committers cannot clobber
+    each other's in-flight rename (the old shared tmp name let a raced
+    os.replace throw FileNotFoundError out of a commit that had already
+    landed). Non-blocking callers (opportunistic repair) skip when the
+    lock is contended."""
+    import fcntl
+
+    lock_path = _hint_path(root) + ".lock"
+    with open(lock_path, "a") as lf:
+        try:
+            fcntl.flock(
+                lf, fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB)
+            )
+        except OSError:
+            return  # contended; opportunistic caller gives up
+        try:
+            try:
+                with open(_hint_path(root)) as f:
+                    cur = int(f.read().strip())
+            except (OSError, ValueError):
+                cur = -1
+            if version <= cur:
+                return
+            tmp = f"{_hint_path(root)}.tmp.{os.getpid()}.{id(object())}"
+            with open(tmp, "w") as f:
+                f.write(str(version))
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp, _hint_path(root))
-        else:
-            os.unlink(tmp)
-    except (OSError, ValueError):
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+
+
+def _repair_hint(root: str, read_hint: int, rolled_v: int) -> None:
+    """Opportunistically advance the hint to ``rolled_v``, best effort:
+    monotone + flock-serialized via :func:`_write_hint`, skipped when the
+    lock is contended (every reader re-runs the roll-forward loop, so a
+    missed repair only costs a few extra stat() calls)."""
+    try:
+        _write_hint(root, rolled_v, blocking=False)
+    except OSError:
         pass
 
 
@@ -207,12 +233,7 @@ def commit_snapshot(root: str, snap: Snapshot) -> None:
     except BaseException:
         os.unlink(path)
         raise
-    tmp = _hint_path(root) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(snap.version))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _hint_path(root))
+    _write_hint(root, snap.version, blocking=True)
 
 
 def init_table_dir(root: str, snap: Snapshot) -> None:

@@ -429,7 +429,10 @@ def test_expire_snapshots_bounds_metadata(spark, tmpdir_path):
     expired = expire_snapshots(t, keep_last=3)
     assert expired == list(range(6))  # v0..v5 gone; v6,v7,v8 retained
     md_dir = os.path.join(t.root, "metadata")
-    vfiles = sorted(f for f in os.listdir(md_dir) if f.startswith("v"))
+    vfiles = sorted(
+        f for f in os.listdir(md_dir)
+        if f.endswith(".json") or f == "version-hint.txt"
+    )
     assert vfiles == ["v6.json", "v7.json", "v8.json", "version-hint.txt"]
 
     # live read + time travel inside the horizon still work
