@@ -35,15 +35,19 @@ from pyspark.sql import types as T
 
 @dataclass
 class SingerMessages:
-    records: DataFrame  # (stream, record_json, <order_col>)
+    records: DataFrame  # (stream, record_json, record_version, <order_col>)
     schemas: DataFrame  # (stream, schema_json, key_properties)
     states: DataFrame  # (state_json, <order_col>)
+    # ACTIVATE_VERSION messages (public Singer FULL_TABLE contract):
+    # (stream, version, <order_col>) — on activation, destination rows
+    # from OLDER versions are purged
+    activates: DataFrame | None = None
 
 
 def split_singer_messages(
     df: DataFrame, line_col: str = "value", order_col: str | None = None
 ) -> SingerMessages:
-    """Split raw tap output lines into the three message families."""
+    """Split raw tap output lines into the message families."""
     extra = [order_col] if order_col else []
     tagged = df.select(
         F.get_json_object(F.col(line_col), "$.type").alias("_t"),
@@ -54,6 +58,10 @@ def split_singer_messages(
     records = tagged.filter(F.col("_t") == "RECORD").select(
         "stream",
         F.get_json_object(F.col(line_col), "$.record").alias("record_json"),
+        # FULL_TABLE taps stamp a table version on each record
+        F.get_json_object(F.col(line_col), "$.version")
+        .cast("long")
+        .alias("record_version"),
         *extra,
     )
     schemas = tagged.filter(F.col("_t") == "SCHEMA").select(
@@ -68,7 +76,16 @@ def split_singer_messages(
         F.get_json_object(F.col(line_col), "$.value").alias("state_json"),
         *extra,
     )
-    return SingerMessages(records=records, schemas=schemas, states=states)
+    activates = tagged.filter(F.col("_t") == "ACTIVATE_VERSION").select(
+        "stream",
+        F.get_json_object(F.col(line_col), "$.version")
+        .cast("long")
+        .alias("version"),
+        *extra,
+    )
+    return SingerMessages(
+        records=records, schemas=schemas, states=states, activates=activates
+    )
 
 
 def singer_records(

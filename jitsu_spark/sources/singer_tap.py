@@ -141,7 +141,12 @@ class SingerTapJob:
         schema = T.StructType(
             [T.StructField("event_id", T.StringType())]
             + list(meta.schema.fields)
-            + [T.StructField("src", T.StringType())]
+            + [
+                T.StructField("src", T.StringType()),
+                # FULL_TABLE taps stamp a table version per record; the
+                # ACTIVATE_VERSION purge keys off this column
+                T.StructField("_record_version", T.LongType()),
+            ]
         )
         if os.path.exists(os.path.join(root, "metadata")):
             t = LakeTable(self.spark, root)
@@ -201,7 +206,7 @@ class SingerTapJob:
             # typed extraction as in singer_records, but carrying the line
             # order through as the LWW seq
             ordered = msgs.records.filter(F.col("stream") == stream).select(
-                F.col("_ln").alias("seq"), "record_json"
+                F.col("_ln").alias("seq"), "record_json", "record_version"
             )
             typed = ordered.withColumn(
                 "_p",
@@ -213,7 +218,7 @@ class SingerTapJob:
                     ),
                     {"columnNameOfCorruptRecord": "_corrupt", "mode": "PERMISSIVE"},
                 ),
-            ).select("seq", "_p.*")
+            ).select("seq", "record_version", "_p.*")
             good = typed.filter(F.col("_corrupt").isNull()).drop("_corrupt")
             bad = typed.filter(F.col("_corrupt").isNotNull())
             if self.dead_letter_dir is not None:
@@ -246,6 +251,7 @@ class SingerTapJob:
                 evid.alias("event_id"),
                 *[f.name for f in meta.schema.fields],
                 F.lit(SRC_VALUE).alias("src"),
+                F.col("record_version").alias("_record_version"),
                 F.col("seq"),
                 F.lit("u").alias("op"),
             )
@@ -256,6 +262,41 @@ class SingerTapJob:
                 job_id=f"{self.job_id}/{stream}",
             )
             counts[stream] = 0 if res.skipped else res.n_keys
+
+        # ACTIVATE_VERSION purge (public Singer FULL_TABLE contract): rows
+        # of versions OLDER than the activated one are deleted. Runs after
+        # the portion's records merged, so this-portion rows at the new
+        # version survive; NULL-version rows (incremental streams never
+        # see activations) are deliberately left alone. Idempotent via a
+        # portion-scoped batch id.
+        acts = (
+            msgs.activates.filter(F.col("version").isNotNull()).collect()
+            if msgs.activates is not None
+            else []
+        )
+        for r in sorted(acts, key=lambda r: r["_ln"]):
+            stream, version = r["stream"], int(r["version"])
+            meta = self.streams.get(stream)
+            if meta is None:
+                continue
+            table = self._table_for(stream, meta)
+            stale = table.read().filter(
+                F.col("_record_version") < F.lit(version)
+            )
+            tombstones = stale.select(
+                "event_id",
+                *[f.name for f in meta.schema.fields],
+                "src",
+                "_record_version",
+                F.lit(int(r["_ln"])).alias("seq"),
+                F.lit("d").alias("op"),
+            )
+            merge_batch(
+                table,
+                tombstones,
+                batch_id=f"av{state_sig}x{r['_ln']}",
+                job_id=f"{self.job_id}/{stream}",
+            )
         return counts
 
     # -- the run loop --------------------------------------------------------

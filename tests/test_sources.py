@@ -785,7 +785,7 @@ def test_singer_tap_mid_stream_schema_evolution(spark, tmpdir_path):
     assert rep.tap_exit_code == 0 and rep.portions == 2
     t = job.tables["users"]
     assert [f.name for f in t.schema().fields] == [
-        "event_id", "id", "name", "src", "tier"
+        "event_id", "id", "name", "src", "_record_version", "tier"
     ]
     rows = {r["id"]: (r["name"], r["tier"]) for r in t.read().collect()}
     assert rows == {
@@ -830,3 +830,68 @@ print(json.dumps({"type": "STATE", "value": {"hb": 0}}))  # identical line
     assert rep.portions == 2
     rows = {r["id"]: r["name"] for r in job.tables["users"].read().collect()}
     assert rows == {1: "a", 2: "b"}  # BOTH portions landed
+
+
+def test_singer_tap_activate_version_full_table_replace(spark, tmpdir_path):
+    """Public Singer FULL_TABLE contract: records carry a table version;
+    ACTIVATE_VERSION purges rows of OLDER versions. A second full sync
+    with a smaller row set deletes the rows absent from it; NULL-version
+    (incremental) rows are untouched."""
+    import os
+    import sys
+
+    from jitsu_spark.sources.singer_tap import SingerTapJob
+
+    tap = os.path.join(tmpdir_path, "tap.py")
+    with open(tap, "w") as f:
+        f.write(r'''
+import argparse, json
+p = argparse.ArgumentParser()
+p.add_argument("-c", "--config", default=None)
+p.add_argument("--state", default=None)
+a = p.parse_args()
+start = 0
+if a.state:
+    with open(a.state) as f:
+        start = json.load(f).get("bookmark", 0)
+print(json.dumps({"type": "SCHEMA", "stream": "users",
+                  "schema": {"properties": {"id": {"type": "integer"},
+                                            "name": {"type": "string"}}},
+                  "key_properties": ["id"]}))
+if start < 1:
+    for i in range(4):  # full sync v1: ids 0..3
+        print(json.dumps({"type": "RECORD", "stream": "users", "version": 1,
+                          "record": {"id": i, "name": "v1n%d" % i}}))
+    print(json.dumps({"type": "ACTIVATE_VERSION", "stream": "users",
+                      "version": 1}))
+    print(json.dumps({"type": "STATE", "value": {"bookmark": 1}}))
+if start < 2:
+    for i in (1, 3):  # full sync v2: ids 0 and 2 gone upstream
+        print(json.dumps({"type": "RECORD", "stream": "users", "version": 2,
+                          "record": {"id": i, "name": "v2n%d" % i}}))
+    print(json.dumps({"type": "ACTIVATE_VERSION", "stream": "users",
+                      "version": 2}))
+    print(json.dumps({"type": "STATE", "value": {"bookmark": 2}}))
+''')
+    job = SingerTapJob(
+        spark=spark,
+        tap_cmd=[sys.executable, tap],
+        work_dir=os.path.join(tmpdir_path, "work"),
+        tables_root=os.path.join(tmpdir_path, "tables"),
+        job_id="singer-av",
+    )
+    rep = job.run_once()
+    assert rep.tap_exit_code == 0 and rep.portions == 2
+    rows = {
+        r["id"]: (r["name"], r["_record_version"])
+        for r in job.tables["users"].read().collect()
+    }
+    # v2 activation purged ids 0 and 2; survivors are the v2 rows
+    assert rows == {1: ("v2n1", 2), 3: ("v2n3", 2)}
+
+    # re-run: everything bookmarked, nothing re-applied
+    rep2 = job.run_once()
+    assert rep2.portions == 0
+    assert {
+        r["id"] for r in job.tables["users"].read().collect()
+    } == {1, 3}
