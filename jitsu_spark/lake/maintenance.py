@@ -237,9 +237,17 @@ def expire_snapshots(table: LakeTable, keep_last: int = 100) -> list[int]:
 
     Safety: never expires at or above the on-disk hint, so the reader
     roll-forward chain (hint -> v{hint+1} -> ...) stays intact even if
-    the hint is stale from a crashed writer. Returns expired versions."""
-    if keep_last < 1:
-        raise ValueError("keep_last must be >= 1")
+    the hint is stale from a crashed writer. ``keep_last`` must be >= 2:
+    with ``keep_last=1`` the horizon equals ``current``, so a concurrent
+    reader that just resolved the previous version as current would lose
+    its descriptor mid-read (in-stream expiry should keep the window
+    comfortably above the number of commits a reader may lag). Returns
+    expired versions."""
+    if keep_last < 2:
+        raise ValueError(
+            "keep_last must be >= 2 (a concurrent reader may lag the "
+            "current version by at least one commit)"
+        )
     current = md.current_version(table.root)
     try:
         with open(os.path.join(table.root, "metadata", "version-hint.txt")) as f:

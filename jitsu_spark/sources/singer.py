@@ -71,6 +71,7 @@ def split_singer_messages(
             F.get_json_object(F.col(line_col), "$.key_properties"),
             T.ArrayType(T.StringType()),
         ).alias("key_properties"),
+        *extra,
     )
     states = tagged.filter(F.col("_t") == "STATE").select(
         F.get_json_object(F.col(line_col), "$.value").alias("state_json"),

@@ -46,6 +46,11 @@ from jitsu_spark.sources.singer import split_singer_messages
 #: analog; ``src`` marks provenance, ``event_id`` is the key-fields hash)
 SRC_VALUE = "source"
 
+#: engine-owned column names; a tap stream whose SCHEMA declares one of
+#: these would produce duplicate/ambiguous columns in the merge batch, so
+#: it is rejected at SCHEMA time (before any record merges)
+RESERVED_COLUMNS = frozenset({"event_id", "src", "_record_version", "seq", "op"})
+
 
 def json_schema_to_spark(js: dict) -> T.StructType:
     """Minimal JSON-schema -> Spark schema for Singer SCHEMA messages
@@ -183,10 +188,20 @@ class SingerTapJob:
         msgs = split_singer_messages(raw, line_col="_raw", order_col="_ln")
 
         # SCHEMA messages update per-stream metadata (driver-side: a few
-        # rows per portion at most)
-        for r in msgs.schemas.collect():
+        # rows per portion at most). Applied in line order: two SCHEMA
+        # messages for one stream in the same portion (mid-portion
+        # evolution before a STATE boundary) must land last-wins, and
+        # collect() order is otherwise arbitrary.
+        for r in sorted(msgs.schemas.collect(), key=lambda r: r["_ln"]):
+            schema = json_schema_to_spark(json.loads(r["schema_json"]))
+            clash = sorted(RESERVED_COLUMNS & {f.name for f in schema.fields})
+            if clash:
+                raise ValueError(
+                    f"stream {r['stream']!r} SCHEMA declares reserved "
+                    f"engine column(s) {clash}; rename them in the tap"
+                )
             self.streams[r["stream"]] = StreamMeta(
-                schema=json_schema_to_spark(json.loads(r["schema_json"])),
+                schema=schema,
                 key_properties=list(r["key_properties"] or []),
             )
 
@@ -297,6 +312,10 @@ class SingerTapJob:
                 batch_id=f"av{state_sig}x{r['_ln']}",
                 job_id=f"{self.job_id}/{stream}",
             )
+        # the spool is only needed within this portion (every merge above
+        # committed eagerly); leaving it would grow work_dir unboundedly
+        # over a long-lived or frequently-resumed sync
+        os.unlink(spool)
         return counts
 
     # -- the run loop --------------------------------------------------------
@@ -332,14 +351,16 @@ class SingerTapJob:
                 pending.append(line)
                 is_state = False
                 try:
-                    mtype = json.loads(line).get("type")
+                    msg = json.loads(line)
+                except ValueError:
+                    msg = None  # non-JSON chatter: dead-letters in the parser
+                if isinstance(msg, dict):  # scalar JSON lines are chatter too
+                    mtype = msg.get("type")
                     is_state = mtype == "STATE"
                     pending_has_records |= mtype == "RECORD"
                     if mtype in ("RECORD", "STATE"):
                         digest.update(b"\x00")
                         digest.update(line.encode())
-                except ValueError:
-                    pass  # non-JSON chatter: dead-letters in the parser
                 if is_state or len(pending) >= self.max_portion_lines:
                     counts = self._apply_portion(
                         pending, report.portions, digest.hexdigest()[:16]
@@ -347,7 +368,7 @@ class SingerTapJob:
                     for s, n in counts.items():
                         report.records[s] = report.records.get(s, 0) + n
                     if is_state:
-                        st = json.dumps(json.loads(line).get("value"))
+                        st = json.dumps(msg.get("value"))
                         self._save_state(st)
                         report.final_state = st
                         digest = fresh_digest(st)

@@ -68,7 +68,10 @@ class CdcStreamJob:
     # on the same cadence, additionally expire version DESCRIPTORS older
     # than this many (None = off, the safe default: changes()/time-travel
     # consumers below the horizon break — opt in once downstream syncs
-    # are chained via post_commit, which runs first)
+    # are chained via post_commit, which runs first). Clamped to >= 2:
+    # in-stream expiry with keep=1 would delete the descriptor a
+    # concurrent reader just resolved as current; keep it comfortably
+    # above the number of commits any concurrent reader may lag.
     expire_snapshots_keep: int | None = None
     # post-commit hook, called after every APPLIED (non-skipped) merge and
     # BEFORE any compaction — the seam for chaining downstream incremental
@@ -156,7 +159,8 @@ class CdcStreamJob:
                 compact_manifest(self.table)
                 if self.expire_snapshots_keep:
                     expire_snapshots(
-                        self.table, keep_last=self.expire_snapshots_keep
+                        self.table,
+                        keep_last=max(self.expire_snapshots_keep, 2),
                     )
 
     def run_available_now(self, spark: SparkSession, timeout_s: int = 600) -> list[MergeResult]:

@@ -457,10 +457,17 @@ def test_expire_snapshots_bounds_metadata(spark, tmpdir_path):
     hint_path = os.path.join(md_dir, "version-hint.txt")
     with open(hint_path, "w") as f:
         f.write("7")
-    expired2 = expire_snapshots(t, keep_last=1)
+    expired2 = expire_snapshots(t, keep_last=2)
     with open(hint_path) as f:
         hint_now = int(f.read().strip())
-    assert expired2 == list(range(6, hint_now))  # everything below the hint
+    # horizon = min(current - keep_last + 1, hint) = min(8, repaired hint)
+    assert expired2 == list(range(6, min(8, hint_now)))
+    # keep_last=1 is rejected outright: a concurrent reader may lag by one
+    try:
+        expire_snapshots(t, keep_last=1)
+        raise AssertionError("expected keep_last=1 to be rejected")
+    except ValueError:
+        pass
     assert t.snapshot().version == 9
     assert t.read().count() == 9
 
@@ -490,7 +497,7 @@ def test_expire_snapshots_safe_respects_consumer_cursors(spark, tmpdir_path):
 
     # aggressive expiry request, but the mirror sits at v1: nothing below
     # the cursor's window may go
-    expired = expire_snapshots_safe(t, [(dst, "m")], keep_last=1)
+    expired = expire_snapshots_safe(t, [(dst, "m")], keep_last=2)
     assert expired == [0]  # v1..v6 all retained for the consumer
     # the lagging mirror can still catch up exactly
     sync_mirror(t, dst, job_id="m")
@@ -498,8 +505,8 @@ def test_expire_snapshots_safe_respects_consumer_cursors(spark, tmpdir_path):
         f"k{i}" for i in range(6)
     }
     # caught up (cursor -> v6): old descriptors now expirable
-    expired2 = expire_snapshots_safe(t, [(dst, "m")], keep_last=1)
-    assert expired2 == list(range(1, 6))
+    expired2 = expire_snapshots_safe(t, [(dst, "m")], keep_last=2)
+    assert expired2 == list(range(1, 5))  # v5+v6 retained (min window)
     assert t.read().count() == 6
 
 

@@ -895,3 +895,125 @@ if start < 2:
     assert {
         r["id"] for r in job.tables["users"].read().collect()
     } == {1, 3}
+
+
+def test_singer_tap_chatter_and_spool_cleanup(spark, tmpdir_path):
+    """Robustness corners from the r4 review: scalar-JSON stdout lines
+    (a bare number / string) are chatter — tolerated like non-JSON noise,
+    not an AttributeError that aborts the sync — and portion spool files
+    are deleted once the portion's merges commit (bounded work_dir)."""
+    import os
+    import sys
+
+    from jitsu_spark.sources.singer_tap import SingerTapJob
+
+    tap = os.path.join(tmpdir_path, "tap.py")
+    with open(tap, "w") as f:
+        f.write(r'''
+import json
+print(json.dumps({"type": "SCHEMA", "stream": "users",
+                  "schema": {"properties": {"id": {"type": "integer"},
+                                            "name": {"type": "string"}}},
+                  "key_properties": ["id"]}))
+print(42)                       # valid JSON, not an object
+print(json.dumps("progress"))   # valid JSON string
+print("plain log chatter")      # not JSON at all
+print(json.dumps({"type": "RECORD", "stream": "users",
+                  "record": {"id": 1, "name": "a"}}))
+print(json.dumps({"type": "STATE", "value": {"bookmark": 1}}))
+print(json.dumps({"type": "RECORD", "stream": "users",
+                  "record": {"id": 2, "name": "b"}}))
+print(json.dumps({"type": "STATE", "value": {"bookmark": 2}}))
+''')
+    work = os.path.join(tmpdir_path, "work")
+    job = SingerTapJob(
+        spark=spark,
+        tap_cmd=[sys.executable, tap],
+        work_dir=work,
+        tables_root=os.path.join(tmpdir_path, "tables"),
+        job_id="singer-chatter",
+    )
+    rep = job.run_once()
+    assert rep.tap_exit_code == 0 and rep.portions == 2
+    rows = {r["id"]: r["name"] for r in job.tables["users"].read().collect()}
+    assert rows == {1: "a", 2: "b"}
+    spool_dir = os.path.join(work, "spool")
+    assert os.listdir(spool_dir) == []  # spools unlinked after commit
+
+
+def test_singer_tap_rejects_reserved_schema_columns(spark, tmpdir_path):
+    """A stream SCHEMA declaring an engine-owned column (event_id, src,
+    _record_version, seq, op) is rejected at SCHEMA time — before any
+    record merges produce ambiguous duplicate columns."""
+    import os
+    import sys
+
+    from jitsu_spark.sources.singer_tap import SingerTapJob
+
+    tap = os.path.join(tmpdir_path, "tap.py")
+    with open(tap, "w") as f:
+        f.write(r'''
+import json
+print(json.dumps({"type": "SCHEMA", "stream": "users",
+                  "schema": {"properties": {"id": {"type": "integer"},
+                                            "event_id": {"type": "string"}}},
+                  "key_properties": ["id"]}))
+print(json.dumps({"type": "RECORD", "stream": "users",
+                  "record": {"id": 1, "event_id": "boom"}}))
+print(json.dumps({"type": "STATE", "value": {"bookmark": 1}}))
+''')
+    job = SingerTapJob(
+        spark=spark,
+        tap_cmd=[sys.executable, tap],
+        work_dir=os.path.join(tmpdir_path, "work"),
+        tables_root=os.path.join(tmpdir_path, "tables"),
+        job_id="singer-reserved",
+    )
+    try:
+        job.run_once()
+        raise AssertionError("expected reserved-column SCHEMA rejection")
+    except ValueError as e:
+        assert "event_id" in str(e)
+    assert "users" not in job.tables  # nothing merged
+
+
+def test_singer_tap_mid_portion_schema_order(spark, tmpdir_path):
+    """Two SCHEMA messages for one stream inside ONE portion (mid-portion
+    evolution before any STATE boundary) must apply in line order — the
+    collected rows are sorted by _ln, so the LATER schema wins and its
+    columns survive into the table."""
+    import os
+    import sys
+
+    from jitsu_spark.sources.singer_tap import SingerTapJob
+
+    tap = os.path.join(tmpdir_path, "tap.py")
+    with open(tap, "w") as f:
+        f.write(r'''
+import json
+print(json.dumps({"type": "SCHEMA", "stream": "users",
+                  "schema": {"properties": {"id": {"type": "integer"}}},
+                  "key_properties": ["id"]}))
+print(json.dumps({"type": "RECORD", "stream": "users",
+                  "record": {"id": 1}}))
+print(json.dumps({"type": "SCHEMA", "stream": "users",
+                  "schema": {"properties": {"id": {"type": "integer"},
+                                            "name": {"type": "string"}}},
+                  "key_properties": ["id"]}))
+print(json.dumps({"type": "RECORD", "stream": "users",
+                  "record": {"id": 2, "name": "late"}}))
+print(json.dumps({"type": "STATE", "value": {"bookmark": 1}}))
+''')
+    job = SingerTapJob(
+        spark=spark,
+        tap_cmd=[sys.executable, tap],
+        work_dir=os.path.join(tmpdir_path, "work"),
+        tables_root=os.path.join(tmpdir_path, "tables"),
+        job_id="singer-order",
+    )
+    rep = job.run_once()
+    assert rep.tap_exit_code == 0 and rep.portions == 1
+    t = job.tables["users"]
+    assert "name" in {f.name for f in t.schema().fields}
+    rows = {r["id"]: r["name"] for r in t.read().collect()}
+    assert rows == {1: None, 2: "late"}
