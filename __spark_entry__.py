@@ -891,6 +891,11 @@ def q_interval_source_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         metrics={"sessions": ("count", "*"), "revenue": ("sum_money", "value")},
         now=now1,
         days_back=20,
+        # paginated report reads (reference google_analytics.go:124 page
+        # loop): each day's report arrives as several frames, unioned
+        # into the same single chunk commit — the gate proves pagination
+        # is invisible to the final state
+        page_size=2,
     )
     job = IntervalSyncJob(
         table, drv, ts_col="report_date",
@@ -1251,6 +1256,36 @@ def q_singer_tap_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return job.tables["accounts"].read().select("id", "name", "balance")
 
 
+def q_singer_tap_sync_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 in the steady-state write mode: the same tap sync with every
+    stream table in write.mode=mor (each portion merge is an O(portion)
+    delta write, not a CoW bucket rewrite — measured 8.7x CoW on the CDC
+    path) plus the in-run compaction cadence that folds deltas back to
+    base every 3 portions. Final state must be byte-identical to the CoW
+    sync, so the oracle is the same LWW SQL."""
+    import sys
+
+    from jitsu_spark.sources.singer_tap import SingerTapJob
+
+    work = _scratch("singer_mor")
+    os.makedirs(work, exist_ok=True)
+    tap = os.path.join(work, "tap.py")
+    with open(tap, "w") as f:
+        f.write(_ENTRY_TAP)
+    job = SingerTapJob(
+        spark=spark,
+        tap_cmd=[sys.executable, tap],
+        work_dir=os.path.join(work, "state"),
+        tables_root=os.path.join(work, "tables"),
+        job_id="singer-entry-mor",
+        table_properties={"write.mode": "mor"},
+        compact_every_n_portions=3,
+    )
+    job.run_once()
+    job.run_once()  # resume: bookmark=8, tap emits nothing new
+    return job.tables["accounts"].read().select("id", "name", "balance")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_cdc_replay_final_state(spark, "/root/testdata/sf0.001")
@@ -1300,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_guard": q_lsh_bucket_guard,
         "interval_source_sync": q_interval_source_sync,
         "singer_tap_sync": q_singer_tap_sync,
+        "singer_tap_sync_mor": q_singer_tap_sync_mor,
         "stats_rollup": q_stats_rollup,
         "mirror_sync": q_mirror_sync,
         "snapshot_sync": q_snapshot_sync,
@@ -2133,6 +2169,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id, name, balance FROM f WHERE rn = 1
     """
+    # MoR-mode sync converges to the identical final state
+    out["singer_tap_sync_mor"] = out["singer_tap_sync"]
     # lineage counters vs the data they claim to cover: per 5-way batch
     # split, raw rows / delete envelopes / seq range
     out["stats_rollup"] = f"""

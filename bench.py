@@ -6,7 +6,10 @@
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     JITSU_BENCH_CDC_EVENTS (default 2_000_000).
+     JITSU_BENCH_CDC_EVENTS (default 2_000_000),
+     JITSU_BENCH_REPS (default 3) — every per-query number is a min over
+     this many interleaved in-JVM reps (shared-VM variance defense; the
+     tools/bench_scaling_full.py protocol).
 
 The flagship number is the CDC replay: a deterministic synthetic change
 log (JITSU_BENCH_CDC_EVENTS events, 10% of keys hot, dup deliveries) is
@@ -37,7 +40,8 @@ def _noop_write(df) -> None:
 
 
 def bench_cdc_replay(
-    spark, n_events: int, n_docs: int, n_batches: int = 4, mode: str = "cow"
+    spark, n_events: int, n_docs: int, n_batches: int = 4, mode: str = "cow",
+    reps: int = 1,
 ) -> float:
     from jitsu_spark.changelog import changelog_df
     from jitsu_spark.lake import LakeTable
@@ -68,19 +72,27 @@ def bench_cdc_replay(
         )
         merge_batch(warm, log.filter(F.col("seq") < 20000), batch_id=0, job_id="warm")
 
-        table = LakeTable.create(
-            spark, os.path.join(work, "tbl"), schema, "doc_id", n_buckets=64,
-            properties={"write.mode": mode},
-        )
+        # min-of-reps in-JVM (iter 1 doubles as residual-JIT warmup): on a
+        # shared box with 2-3x minute-scale variance, single-shot numbers
+        # made round-over-round deltas unquotable (r4 lesson). The change
+        # log is generated ONCE; each rep replays into a fresh table.
+        best = float("inf")
         per = n_events // n_batches
-        t0 = time.time()
-        for i in range(n_batches):
-            part = log.filter(
-                (F.col("seq") >= i * per)
-                & (F.col("seq") < ((i + 1) * per if i < n_batches - 1 else n_events))
+        for rep in range(max(reps, 1)):
+            table = LakeTable.create(
+                spark, os.path.join(work, f"tbl{rep}"), schema, "doc_id",
+                n_buckets=64, properties={"write.mode": mode},
             )
-            merge_batch(table, part, batch_id=i, job_id="bench")
-        return time.time() - t0
+            t0 = time.time()
+            for i in range(n_batches):
+                part = log.filter(
+                    (F.col("seq") >= i * per)
+                    & (F.col("seq") < ((i + 1) * per if i < n_batches - 1 else n_events))
+                )
+                merge_batch(table, part, batch_id=i, job_id="bench")
+            best = min(best, time.time() - t0)
+            shutil.rmtree(os.path.join(work, f"tbl{rep}"), ignore_errors=True)
+        return best
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -98,16 +110,25 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
+    # every per-query number is a min over REPS in-JVM iterations,
+    # interleaved (whole suite repeated, per-query min taken) — the
+    # tools/bench_scaling_full.py protocol, because single-shot timings
+    # on this shared box swing 2-3x minute-to-minute
+    reps = int(os.environ.get("JITSU_BENCH_REPS", "3"))
+
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
+    extras["reps"] = reps
 
     # flagship: CDC replay throughput through the real engine
-    secs = bench_cdc_replay(spark, n_cdc, max(n_cdc // 10, 1000))
+    secs = bench_cdc_replay(spark, n_cdc, max(n_cdc // 10, 1000), reps=reps)
     queries["cdc_replay"] = round(secs, 3)
     extras["cdc_events"] = n_cdc
     extras["cdc_events_per_sec"] = round(n_cdc / secs, 1)
 
-    secs_mor = bench_cdc_replay(spark, n_cdc, max(n_cdc // 10, 1000), mode="mor")
+    secs_mor = bench_cdc_replay(
+        spark, n_cdc, max(n_cdc // 10, 1000), mode="mor", reps=reps
+    )
     queries["cdc_replay_mor"] = round(secs_mor, 3)
     extras["cdc_mor_events_per_sec"] = round(n_cdc / secs_mor, 1)
 
@@ -118,7 +139,12 @@ def main() -> None:
     # means the timed run below is the steady-state number.
     _noop_write(entry.q_pack_sequences(spark, sf_dir))
 
-    # operator suite over the driver tables at sf_dir
+    # operator suite over the driver tables at sf_dir. incremental_agg
+    # stays gate-only: the synthetic changelog touches ~100% of keys per
+    # batch, so IVM's O(changed-keys) degenerates to repeated full-table
+    # pre/post-image reads there — worst-case by construction, not an
+    # engine signal (tests/test_mor asserts the bucket pruning that makes
+    # it O(changed) on localized change sets).
     suite = {
         "lww_dedup": entry.q_lww_dedup,
         "flatten_props": entry.q_flatten_props,
@@ -135,32 +161,17 @@ def main() -> None:
         "pricing_summary": entry.q_pricing_summary,
         "revenue_by_nation": entry.q_revenue_by_nation,
         "multimodal_features": entry.q_multimodal_features,
-    }
-    for name, fn in suite.items():
-        t0 = time.time()
-        _noop_write(fn(spark, sf_dir))
-        queries[name] = round(time.time() - t0, 3)
-
-    # enrichment operators added in r2
-    for name, fn in {"ua_parse": entry.q_ua_parse, "geo_lookup": entry.q_geo_lookup}.items():
-        t0 = time.time()
-        _noop_write(fn(spark, sf_dir))
-        queries[name] = round(time.time() - t0, 3)
-
-    # round-3 operators: user event-transform stage (per-event Python cost
-    # benched honestly) and token multiplex fan-out. incremental_agg stays
-    # gate-only: the synthetic changelog touches ~100% of keys per batch,
-    # so IVM's O(changed-keys) degenerates to repeated full-table
-    # pre/post-image reads there — worst-case by construction, not an
-    # engine signal (tests/test_mor asserts the bucket pruning that makes
-    # it O(changed) on localized change sets).
-    for name, fn in {
+        "ua_parse": entry.q_ua_parse,
+        "geo_lookup": entry.q_geo_lookup,
         "transform_fanout": entry.q_transform_fanout,
         "token_multiplex": entry.q_token_multiplex,
-    }.items():
-        t0 = time.time()
-        _noop_write(fn(spark, sf_dir))
-        queries[name] = round(time.time() - t0, 3)
+    }
+    for rep in range(reps):
+        for name, fn in suite.items():
+            t0 = time.time()
+            _noop_write(fn(spark, sf_dir))
+            el = round(time.time() - t0, 3)
+            queries[name] = min(queries.get(name, el), el)
 
     # sf1-equivalent section: inflate EVERY family's tables 10x (no native
     # sf1 parquet exists) and rerun one representative per family, so a
@@ -235,10 +246,12 @@ def main() -> None:
             # banded-join skew path), so its absolute time tracks corpus
             # shape, not engine regressions in the core suite
             sf1_queries: dict[str, float] = {}
-            for name, fn in scaled.items():
-                t0 = time.time()
-                _noop_write(fn(spark, inflated))
-                sf1_queries[name] = round(time.time() - t0, 3)
+            for rep in range(reps):
+                for name, fn in scaled.items():
+                    t0 = time.time()
+                    _noop_write(fn(spark, inflated))
+                    el = round(time.time() - t0, 3)
+                    sf1_queries[name] = min(sf1_queries.get(name, el), el)
             extras["sf1_queries"] = sf1_queries
             extras["docs_scale"] = docs_scale
         finally:

@@ -4,7 +4,8 @@ Reference semantics: the per-DWH type-mapping tables
 ``SchemaToPostgres`` (/root/reference/server/adapters/postgres.go:61-68),
 ``SchemaToRedshift`` (aws_redshift.go:36-43), ``SchemaToMysql``
 (mysql.go:61-68), ``SchemaToClickhouse`` (clickhouse.go:38-45) and
-``SchemaToBigQueryString`` (bigquery.go:16-23) plus the CREATE/ALTER
+``SchemaToBigQueryString`` (bigquery.go:16-23) and
+``SchemaToSnowflake`` (snowflake.go:32-39) plus the CREATE/ALTER
 templates around them — re-derived, no code ported. They let a lake
 mirror maintained by ``sync_mirror`` be handed off to a real warehouse:
 generate the DDL here, load the mirror's parquet there.
@@ -22,7 +23,9 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
-DIALECTS = ("postgres", "redshift", "mysql", "clickhouse", "bigquery")
+DIALECTS = (
+    "postgres", "redshift", "mysql", "clickhouse", "bigquery", "snowflake"
+)
 
 _INTS = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
 _FLOATS = (T.DoubleType, T.FloatType)
@@ -42,6 +45,8 @@ def column_type(dt: T.DataType, dialect: str) -> str:
             return f"ARRAY<{inner}>"
         if dialect == "redshift":
             return "super"          # Redshift's semistructured type
+        if dialect == "snowflake":
+            return "ARRAY"          # Snowflake semistructured (VARIANT family)
         return "json"               # mysql
     if isinstance(dt, T.DecimalType):
         p, s = dt.precision, dt.scale
@@ -51,6 +56,7 @@ def column_type(dt: T.DataType, dialect: str) -> str:
             "mysql": f"decimal({p},{s})",
             "clickhouse": f"Decimal({p},{s})",
             "bigquery": "BIGNUMERIC" if p > 38 else "NUMERIC",
+            "snowflake": f"NUMBER({p},{s})",
         }[dialect]
     if isinstance(dt, T.StringType):
         return {
@@ -59,6 +65,7 @@ def column_type(dt: T.DataType, dialect: str) -> str:
             "mysql": "text",
             "clickhouse": "String",
             "bigquery": "STRING",
+            "snowflake": "text",
         }[dialect]
     if isinstance(dt, _INTS):
         return {
@@ -67,6 +74,7 @@ def column_type(dt: T.DataType, dialect: str) -> str:
             "mysql": "bigint",
             "clickhouse": "Int64",
             "bigquery": "INTEGER",
+            "snowflake": "bigint",
         }[dialect]
     if isinstance(dt, _FLOATS):
         return {
@@ -75,6 +83,7 @@ def column_type(dt: T.DataType, dialect: str) -> str:
             "mysql": "float(38,18)",
             "clickhouse": "Float64",
             "bigquery": "FLOAT",
+            "snowflake": "numeric(38,18)",
         }[dialect]
     if isinstance(dt, T.BooleanType):
         return {
@@ -83,6 +92,7 @@ def column_type(dt: T.DataType, dialect: str) -> str:
             "mysql": "boolean",
             "clickhouse": "UInt8",
             "bigquery": "BOOLEAN",
+            "snowflake": "boolean",
         }[dialect]
     if isinstance(dt, T.TimestampType):
         return {
@@ -91,6 +101,7 @@ def column_type(dt: T.DataType, dialect: str) -> str:
             "mysql": "timestamp",
             "clickhouse": "DateTime",
             "bigquery": "TIMESTAMP",
+            "snowflake": "timestamp(6)",
         }[dialect]
     if isinstance(dt, T.DateType):
         return {
@@ -99,6 +110,7 @@ def column_type(dt: T.DataType, dialect: str) -> str:
             "mysql": "date",
             "clickhouse": "Date",
             "bigquery": "DATE",
+            "snowflake": "date",
         }[dialect]
     if isinstance(dt, T.BinaryType):
         return {
@@ -107,6 +119,7 @@ def column_type(dt: T.DataType, dialect: str) -> str:
             "mysql": "blob",
             "clickhouse": "String",
             "bigquery": "BYTES",
+            "snowflake": "binary",
         }[dialect]
     # UNKNOWN -> the dialect's text type, like the reference's UNKNOWN row
     return column_type(T.StringType(), dialect)
@@ -142,7 +155,7 @@ def create_table_ddl(
         )
         return f"CREATE TABLE {fq} (\n  {cols}\n) {engine}"
     pk = ""
-    if key_field and dialect in ("postgres", "redshift", "mysql"):
+    if key_field and dialect in ("postgres", "redshift", "mysql", "snowflake"):
         pk = f",\n  PRIMARY KEY ({_quote(dialect, key_field)})"
     return f"CREATE TABLE {fq} (\n  {cols}{pk}\n)"
 
@@ -181,7 +194,9 @@ def alter_table_ddl(
             stmts.append(f"ALTER TABLE {fq} MODIFY COLUMN {col} {tgt}")
         elif dialect == "clickhouse":
             stmts.append(f"ALTER TABLE {fq} MODIFY COLUMN {col} {tgt}")
-        else:  # bigquery / redshift: in-place retype unsupported
+        else:  # bigquery / redshift / snowflake: in-place retype across
+            # type families unsupported (Snowflake's SET DATA TYPE only
+            # widens within varchar/number)
             stmts.append(
                 f"-- {dialect}: retype {f.name} -> {tgt} requires a "
                 "copy migration (ADD new column, backfill, swap)"

@@ -78,14 +78,47 @@ class GaShapedReportDriver(IntervalDriver):
     lag_days: int = 1  # reference: AddDate(0, 0, -1)
     arrival_col: str | None = None  # visibility column; None -> ts_col
     tz_id: str = "UTC"
+    #: "DAY" (GA / FB-Marketing) or "MONTH" (Google-Play bucket reports,
+    #: google_play.go:27 intervalLayout "200601" + NewTimeInterval(MONTH,..))
+    granularity: str = "DAY"
+    months_back: int = 12  # interval count when granularity == "MONTH"
+    #: literal columns stamped on every report row AND folded into the
+    #: report-row id (e.g. the FB/GPlay account_id — rows belong to an
+    #: account the way insights rows belong to /act_<id>/insights)
+    constants: dict[str, str] = field(default_factory=dict)
+    #: rows per page frame (None = single shot). Models the reference's
+    #: paginated report loop (google_analytics.go:124): the interval's
+    #: report comes back as ceil(rows/page_size) frames that the sync job
+    #: unions into ONE chunk commit. The row_number window is over the
+    #: AGGREGATED report (bounded by dimension cardinality), never the
+    #: raw event volume, so the single-partition sort stays tiny.
+    page_size: int | None = None
     read_log: list[str] = field(default_factory=list)  # intervals actually read
 
     def _now(self) -> dt.datetime:
         return dt.datetime.fromisoformat(self.now)
 
     def available_intervals(self) -> list[TimeInterval]:
-        day0 = self._now().replace(hour=0, minute=0, second=0, microsecond=0)
         out = []
+        if self.granularity == "MONTH":
+            m0 = self._now().replace(
+                day=1, hour=0, minute=0, second=0, microsecond=0
+            )
+            cur = m0
+            for _ in range(self.months_back):
+                nxt = (cur + dt.timedelta(days=32)).replace(day=1)
+                out.append(
+                    TimeInterval(
+                        id=f"{self.tz_id}_MONTH_{cur:%Y-%m}",
+                        lower=f"{cur:%Y-%m-%d %H:%M:%S}",
+                        upper=f"{nxt:%Y-%m-%d %H:%M:%S}",
+                    )
+                )
+                cur = (cur - dt.timedelta(days=1)).replace(day=1)
+            return out
+        if self.granularity != "DAY":
+            raise ValueError(f"unknown granularity {self.granularity!r}")
+        day0 = self._now().replace(hour=0, minute=0, second=0, microsecond=0)
         for i in range(self.days_back):
             d = day0 - dt.timedelta(days=i)
             out.append(
@@ -101,6 +134,22 @@ class GaShapedReportDriver(IntervalDriver):
         lag = self._now() - dt.timedelta(days=self.lag_days)
         upper = dt.datetime.fromisoformat(interval.upper)
         return min(lag, upper).strftime(_SIG_FMT)
+
+    def read_interval_pages(self, spark: SparkSession, interval: TimeInterval):
+        if self.page_size is None:
+            yield self.read_interval(spark, interval)
+            return
+        from pyspark.sql import Window
+
+        df = self.read_interval(spark, interval)
+        n = df.count()  # one bounded round trip, like the reference's
+        # page loop discovering the end of the report
+        w = Window.orderBy("report_id")
+        numbered = df.withColumn("_rn", F.row_number().over(w))
+        for start in range(0, max(n, 1), self.page_size):
+            yield numbered.filter(
+                (F.col("_rn") > start) & (F.col("_rn") <= start + self.page_size)
+            ).drop("_rn")
 
     def read_interval(
         self, spark: SparkSession, interval: TimeInterval
@@ -125,20 +174,28 @@ class GaShapedReportDriver(IntervalDriver):
                 raise ValueError(f"unknown metric agg {agg!r}")
         rep = df.groupBy(*self.dimensions).agg(*aggs)
         dim_cols = sorted(self.dimensions)
+        const_cols = sorted(self.constants)
         # NULL-safe, delimiter-safe id: concat_ws skips NULLs, so two
         # dimension tuples differing only in NULL position would collide
-        # into one merge key; to_json keeps nulls and escapes delimiters
+        # into one merge key; to_json keeps nulls and escapes delimiters.
+        # Constants (account id) participate: two accounts' reports for
+        # the same dimension tuple must not collide in a shared table.
         return rep.select(
             F.md5(
                 F.to_json(
                     F.struct(
                         F.lit(interval.id).alias("_chunk"),
+                        *[
+                            F.lit(self.constants[c]).alias(c)
+                            for c in const_cols
+                        ],
                         *[F.col(d).cast("string").alias(d) for d in dim_cols],
                     ),
                     {"ignoreNullFields": "false"},
                 )
             ).alias("report_id"),
             F.lit(interval.lower).cast("timestamp").alias("report_date"),
+            *[F.lit(self.constants[c]).alias(c) for c in const_cols],
             *self.dimensions,
             *self.metrics,
             F.lit(interval.id).alias("_time_chunk"),

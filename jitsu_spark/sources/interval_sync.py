@@ -62,6 +62,15 @@ class IntervalDriver:
     ) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
 
+    def read_interval_pages(self, spark: SparkSession, interval: TimeInterval):
+        """Yield the interval's rows as one or more page frames — the
+        reference's paginated report loop (google_analytics.go:124
+        GetObjectsFor pages through report rows). Drivers whose upstream
+        pages responses override this; the sync job unions all pages
+        into ONE chunk commit, so pagination never changes the
+        signature/commit semantics. Default: a single page."""
+        yield self.read_interval(spark, interval)
+
     def signature(self, interval: TimeInterval) -> str:  # pragma: no cover
         raise NotImplementedError
 
@@ -143,7 +152,14 @@ class IntervalSyncJob:
         done: set[str] = set()
 
         def sync_one(itv: TimeInterval, sig: str) -> None:
-            df = self.driver.read_interval(spark, itv)
+            from functools import reduce
+
+            pages = list(self.driver.read_interval_pages(spark, itv))
+            df = (
+                pages[0]
+                if len(pages) == 1
+                else reduce(DataFrame.unionByName, pages)
+            )
             if itv.is_all:
                 pred = F.lit(True)
             else:

@@ -52,6 +52,57 @@ SRC_VALUE = "source"
 RESERVED_COLUMNS = frozenset({"event_id", "src", "_record_version", "seq", "op"})
 
 
+def selected_streams(catalog: dict) -> set[str]:
+    """Stream names a Singer catalog selects for sync (public catalog
+    spec, as the reference consumes it — singer.go:101-104 passes the
+    catalog through to the tap; the engine applies the same selection
+    defensively on the tap's output).
+
+    A stream is selected when its top-level ``selected`` is true (legacy)
+    or its metadata entry with breadcrumb ``[]`` carries
+    ``metadata.selected: true``. If NO stream in the catalog carries any
+    selection flag, the catalog acts as a plain whitelist: every listed
+    stream is selected."""
+    names: set[str] = set()
+    any_flagged = False
+    for s in catalog.get("streams", []):
+        name = s.get("stream") or s.get("tap_stream_id")
+        if name is None:
+            continue
+        flags = []
+        if "selected" in s:
+            flags.append(bool(s["selected"]))
+        for m in s.get("metadata", []) or []:
+            if m.get("breadcrumb") == [] and "selected" in (
+                m.get("metadata") or {}
+            ):
+                flags.append(bool(m["metadata"]["selected"]))
+        if flags:
+            any_flagged = True
+            if any(flags):
+                names.add(name)
+        else:
+            names.add(name)
+    if not any_flagged:
+        return {
+            s.get("stream") or s.get("tap_stream_id")
+            for s in catalog.get("streams", [])
+            if (s.get("stream") or s.get("tap_stream_id")) is not None
+        }
+    return names
+
+
+def catalog_schemas(catalog: dict) -> dict[str, T.StructType]:
+    """stream name -> Spark schema for every stream in a Singer catalog
+    (``discover()`` output shape)."""
+    out: dict[str, T.StructType] = {}
+    for s in catalog.get("streams", []):
+        name = s.get("stream") or s.get("tap_stream_id")
+        if name is not None and isinstance(s.get("schema"), dict):
+            out[name] = json_schema_to_spark(s["schema"])
+    return out
+
+
 def json_schema_to_spark(js: dict) -> T.StructType:
     """Minimal JSON-schema -> Spark schema for Singer SCHEMA messages
     (string/integer/number/boolean/object/array + date-time format)."""
@@ -106,6 +157,14 @@ class SingerTapJob:
     appended as ``--state <file>`` (the standard Singer resume contract,
     singer.go:173-197). One LakeTable per stream is created lazily under
     ``tables_root/<stream>`` keyed by ``event_id``.
+
+    ``catalog`` (optional) is a Singer catalog dict: it is written to
+    ``work_dir/catalog.json`` and passed as ``--catalog`` (and, when
+    ``catalog_as_properties`` is set, also as ``-p`` for legacy taps) —
+    the reference's pass-through (singer.go:101-104,187-188). The engine
+    ALSO applies the catalog's stream selection to the tap's output:
+    records/activations for unselected streams are skipped, so a tap
+    that ignores ``--catalog`` still syncs only the selected streams.
     """
 
     spark: SparkSession
@@ -116,8 +175,38 @@ class SingerTapJob:
     job_id: str = "singer"
     max_portion_lines: int = 1_000_000  # safety cut if a tap never emits STATE
     dead_letter_dir: str | None = None
+    catalog: dict | None = None
+    catalog_as_properties: bool = False  # legacy taps take -p, not --catalog
+    #: properties for lazily-created stream tables; {"write.mode": "mor"}
+    #: turns every portion merge into an O(portion) delta write instead of
+    #: a CoW bucket rewrite — the steady-state mode for long-lived taps
+    #: (pair with compact_every_n_portions to bound read amplification)
+    table_properties: dict | None = None
+    #: after every N applied portions, fold each stream table's delta
+    #: files back to base and compact the snapshot manifest (the stream
+    #: runner's compact_every_n_batches, at portion granularity)
+    compact_every_n_portions: int | None = None
+    compact_max_files_per_bucket: int = 8
+    applied_portions: int = 0
     tables: dict[str, LakeTable] = field(default_factory=dict)
     streams: dict[str, StreamMeta] = field(default_factory=dict)
+
+    def discover(self) -> dict:
+        """Run the tap with ``--discover`` (singer.go:274) and return the
+        catalog dict it prints; use :func:`catalog_schemas` for the
+        stream -> StructType map and pass a (selection-annotated) copy
+        back via ``catalog=`` to scope the sync."""
+        out = subprocess.run(
+            list(self.tap_cmd) + ["--discover"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            check=True,
+        ).stdout
+        cat = json.loads(out)
+        if not isinstance(cat, dict) or "streams" not in cat:
+            raise ValueError("tap --discover did not print a Singer catalog")
+        return cat
 
     # -- state bookkeeping ---------------------------------------------------
 
@@ -157,7 +246,9 @@ class SingerTapJob:
             t = LakeTable(self.spark, root)
         else:
             t = LakeTable.create(
-                self.spark, root, schema, "event_id", n_buckets=self.n_buckets
+                self.spark, root, schema, "event_id",
+                n_buckets=self.n_buckets,
+                properties=dict(self.table_properties or {}),
             )
         self.tables[stream] = t
         return t
@@ -206,9 +297,13 @@ class SingerTapJob:
             )
 
         counts: dict[str, int] = {}
+        selected = (
+            selected_streams(self.catalog) if self.catalog is not None else None
+        )
         present = [
             r["stream"]
             for r in msgs.records.select("stream").distinct().collect()
+            if selected is None or r["stream"] in selected
         ]
         state_sig = data_sig
         for stream in sorted(present):
@@ -291,6 +386,8 @@ class SingerTapJob:
         )
         for r in sorted(acts, key=lambda r: r["_ln"]):
             stream, version = r["stream"], int(r["version"])
+            if selected is not None and stream not in selected:
+                continue
             meta = self.streams.get(stream)
             if meta is None:
                 continue
@@ -318,12 +415,35 @@ class SingerTapJob:
         os.unlink(spool)
         return counts
 
+    def _maybe_compact(self) -> None:
+        """Fold MoR deltas + snapshot manifests on the portion cadence
+        (bounds read amplification and metadata growth over a long-lived
+        tap, same contract as the stream runner's in-stream cadence)."""
+        if not self.compact_every_n_portions:
+            return
+        if (
+            self.applied_portions == 0
+            or self.applied_portions % self.compact_every_n_portions
+        ):
+            return
+        from jitsu_spark.lake.maintenance import compact_manifest
+
+        for t in self.tables.values():
+            t.compact(max_files_per_bucket=self.compact_max_files_per_bucket)
+            compact_manifest(t)
+
     # -- the run loop --------------------------------------------------------
 
     def run_once(self) -> SingerRunReport:
         """Spawn the tap, consume stdout, commit portion-by-portion."""
         os.makedirs(self.work_dir, exist_ok=True)
         cmd = list(self.tap_cmd)
+        if self.catalog is not None:
+            cp = os.path.join(self.work_dir, "catalog.json")
+            with open(cp + ".tmp", "w") as f:
+                json.dump(self.catalog, f)
+            os.replace(cp + ".tmp", cp)
+            cmd += ["-p", cp] if self.catalog_as_properties else ["--catalog", cp]
         state = self.committed_state()
         if state:
             sp = os.path.join(self.work_dir, "resume_state.json")
@@ -365,6 +485,8 @@ class SingerTapJob:
                     counts = self._apply_portion(
                         pending, report.portions, digest.hexdigest()[:16]
                     )
+                    self.applied_portions += 1
+                    self._maybe_compact()
                     for s, n in counts.items():
                         report.records[s] = report.records.get(s, 0) + n
                     if is_state:
@@ -396,6 +518,8 @@ class SingerTapJob:
             counts = self._apply_portion(
                 pending, report.portions, digest.hexdigest()[:16]
             )
+            self.applied_portions += 1
+            self._maybe_compact()
             for s, n in counts.items():
                 report.records[s] = report.records.get(s, 0) + n
             report.portions += 1

@@ -131,12 +131,27 @@ def test_export_ddl_reference_type_tables():
         assert column_type(dt, "mysql") == my
         assert column_type(dt, "clickhouse") == ch
         assert column_type(dt, "bigquery") == bq
+    # snowflake (reference SchemaToSnowflake, snowflake.go:32-39):
+    # text / bigint / numeric(38,18) / timestamp(6) / boolean
+    sf = {
+        T.StringType(): "text",
+        T.LongType(): "bigint",
+        T.DoubleType(): "numeric(38,18)",
+        T.TimestampType(): "timestamp(6)",
+        T.BooleanType(): "boolean",
+    }
+    for dt, want in sf.items():
+        assert column_type(dt, "snowflake") == want
     # engine extensions: token arrays, decimals
     arr = T.ArrayType(T.IntegerType())
     assert column_type(arr, "postgres") == "bigint[]"
     assert column_type(arr, "clickhouse") == "Array(Int64)"
     assert column_type(arr, "bigquery") == "ARRAY<INTEGER>"
+    assert column_type(arr, "snowflake") == "ARRAY"
     assert column_type(T.DecimalType(18, 2), "postgres") == "numeric(18,2)"
+    assert column_type(T.DecimalType(18, 2), "snowflake") == "NUMBER(18,2)"
+    assert column_type(T.BinaryType(), "snowflake") == "binary"
+    assert column_type(T.DateType(), "snowflake") == "date"
 
 
 def test_export_ddl_widening_lattice_corners():
@@ -156,13 +171,16 @@ def test_export_ddl_widening_lattice_corners():
     assert column_type(sdt, "postgres") == "text"
     assert column_type(sdt, "clickhouse") == "String"
     assert column_type(sdt, "bigquery") == "STRING"
+    assert column_type(sdt, "snowflake") == "text"
     # INT64 ⊔ FLOAT64 = FLOAT64 -> numeric(38,18) / Float64 / FLOAT
     lca2 = logical_to_spark(common_ancestor(DataType.INT64, DataType.FLOAT64))
     assert column_type(lca2, "postgres") == "numeric(38,18)"
     assert column_type(lca2, "clickhouse") == "Float64"
+    assert column_type(lca2, "snowflake") == "numeric(38,18)"
     # BOOL ⊔ INT64 = INT64 -> bigint / Int64 / INTEGER
     lca3 = logical_to_spark(common_ancestor(DataType.BOOL, DataType.INT64))
     assert column_type(lca3, "bigquery") == "INTEGER"
+    assert column_type(lca3, "snowflake") == "bigint"
 
 
 def test_export_create_and_alter_ddl():
@@ -185,6 +203,11 @@ def test_export_create_and_alter_ddl():
     assert "ReplacingMergeTree ORDER BY (`doc_id`)" in ch
     bq = create_table_ddl(schema, "tokens_tbl", "bigquery")
     assert "ARRAY<INTEGER>" in bq and "PRIMARY KEY" not in bq
+    sf = create_table_ddl(schema, "tokens_tbl", "snowflake",
+                          key_field="doc_id", schema_name="lake")
+    assert '"lake"."tokens_tbl"' in sf
+    assert '"tokens" ARRAY' in sf
+    assert 'PRIMARY KEY ("doc_id")' in sf
 
     # add/widen evolution: new column ADDs, long->string widening retypes
     old = T.StructType([T.StructField("doc_id", T.StringType()),
@@ -198,3 +221,7 @@ def test_export_create_and_alter_ddl():
     stmts_bq = alter_table_ddl(old, new, "t", "bigquery")
     assert any("copy migration" in s for s in stmts_bq)
     assert any("ADD COLUMN `lang` STRING" in s for s in stmts_bq)
+    # snowflake: cross-family retype flagged, new column ADDs normally
+    stmts_sf = alter_table_ddl(old, new, "t", "snowflake")
+    assert any("copy migration" in s for s in stmts_sf)
+    assert any('ADD COLUMN "lang" text' in s for s in stmts_sf)

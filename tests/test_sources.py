@@ -339,6 +339,228 @@ def test_ga_shaped_driver_crash_resume(spark, tmpdir_path):
 # S9: Singer tap protocol
 # ---------------------------------------------------------------------------
 
+def test_interval_driver_paginated_reads(spark, tmpdir_path):
+    """Paginated report reads (google_analytics.go:124 GetObjectsFor
+    loop): with page_size set, read_interval_pages yields ceil(n/size)
+    frames whose union equals the single-shot report; the sync job
+    unions them into ONE chunk commit, so the synced table state is
+    identical to unpaginated sync."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.sources.ga_driver import GaShapedReportDriver
+    from jitsu_spark.sources.interval_sync import IntervalSyncJob
+
+    src = os.path.join(tmpdir_path, "page_src")
+    spark.createDataFrame(
+        [(f"t{i % 5}", float(i), dt.datetime(2024, 1, 1, i)) for i in range(20)],
+        "event_type string, value double, ts timestamp",
+    ).write.parquet(src)
+
+    def make(page_size):
+        return GaShapedReportDriver(
+            source_path=src, ts_col="ts", dimensions=["event_type"],
+            metrics={"sessions": ("count", "*"),
+                     "revenue": ("sum_money", "value")},
+            now="2024-01-03 00:00:00", days_back=3, page_size=page_size,
+        )
+
+    drv = make(2)
+    itv = [
+        i for i in drv.available_intervals() if i.id == "UTC_DAY_2024-01-01"
+    ][0]
+    pages = list(drv.read_interval_pages(spark, itv))
+    assert len(pages) == 3  # 5 dimension rows / page_size 2
+    assert sum(p.count() for p in pages) == 5
+    single = {
+        r["report_id"] for r in make(None).read_interval(spark, itv).collect()
+    }
+    paged = {r["report_id"] for p in pages for r in p.collect()}
+    assert paged == single
+
+    schema = T.StructType([
+        T.StructField("report_id", T.StringType()),
+        T.StructField("report_date", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("sessions", T.LongType()),
+        T.StructField("revenue", T.DecimalType(28, 2)),
+        T.StructField("_time_chunk", T.StringType()),
+        T.StructField("_interval_start", T.TimestampType()),
+        T.StructField("_interval_end", T.TimestampType()),
+    ])
+
+    def sync(name, page_size):
+        t = LakeTable.create(
+            spark, os.path.join(tmpdir_path, name), schema, "report_id",
+            n_buckets=4, properties={"write.stats.column": "report_date"},
+        )
+        IntervalSyncJob(
+            t, make(page_size), "report_date",
+            os.path.join(tmpdir_path, f"{name}_state.json"), job_id=name,
+        ).run_once(spark)
+        return {
+            (r["_time_chunk"], r["event_type"]):
+                (r["sessions"], float(r["revenue"]))
+            for r in t.read().collect()
+        }
+
+    assert sync("paged", 2) == sync("oneshot", None)
+
+
+def test_facebook_marketing_shaped_config(spark, tmpdir_path):
+    """FB-Marketing insights shape as a named GaShapedReportDriver config
+    (facebook_marketing.go:51-62,107-118): DAY intervals, REQUIRED
+    account id folded into the report-row id, insights fields split into
+    dimensions + DECIMAL-exact money metrics, attribution-window lag."""
+    import datetime as dt
+    import os
+
+    from jitsu_spark.sources.report_configs import (
+        facebook_marketing_insights_driver,
+    )
+
+    src = os.path.join(tmpdir_path, "insights_src")
+    spark.createDataFrame(
+        [
+            ("c1", "a1", 1.50, dt.datetime(2024, 3, 10, 9)),
+            ("c1", "a1", 2.25, dt.datetime(2024, 3, 10, 15)),
+            ("c1", "a2", 4.00, dt.datetime(2024, 3, 11, 8)),
+        ],
+        "campaign_id string, ad_id string, spend double, ts timestamp",
+    ).write.parquet(src)
+
+    try:
+        facebook_marketing_insights_driver(src, "", now="2024-03-12 00:00:00")
+        raise AssertionError("expected account_id requirement")
+    except ValueError:
+        pass
+
+    drv = facebook_marketing_insights_driver(
+        src, account_id="act123", now="2024-03-12 00:00:00",
+        days_back=3, attribution_lag_days=7,
+    )
+    ivs = drv.available_intervals()
+    assert [i.id for i in ivs] == [
+        "UTC_DAY_2024-03-12", "UTC_DAY_2024-03-11", "UTC_DAY_2024-03-10"
+    ]
+    # attribution lag: now-7d=03-05 < every upper bound, so ALL days keep
+    # a moving signature (re-sync until the attribution window passes)
+    assert all(
+        drv.signature(i) == "2024-03-05T00:00:00.000Z" for i in ivs
+    )
+    rows = {
+        (r["campaign_id"], r["ad_id"]): r
+        for r in drv.read_interval(spark, ivs[2]).collect()  # 03-10
+    }
+    assert rows[("c1", "a1")]["impressions"] == 2
+    assert float(rows[("c1", "a1")]["spend"]) == 3.75  # DECIMAL sum
+    assert rows[("c1", "a1")]["account_id"] == "act123"
+    # the account id is part of the row identity: same dims, different
+    # account -> different report_id (shared-table safety)
+    drv2 = facebook_marketing_insights_driver(
+        src, account_id="act999", now="2024-03-12 00:00:00", days_back=3,
+    )
+    rows2 = {
+        (r["campaign_id"], r["ad_id"]): r
+        for r in drv2.read_interval(spark, ivs[2]).collect()
+    }
+    assert (
+        rows2[("c1", "a1")]["report_id"] != rows[("c1", "a1")]["report_id"]
+    )
+
+
+def test_google_play_shaped_config(spark, tmpdir_path):
+    """Google-Play bucket-report shape (google_play.go:21-27,103-155):
+    MONTH intervals (one sales/earnings bundle per month, year-wrap
+    correct), account-scoped ids, earningsTypeCasts-style DECIMAL money,
+    current-month moving signature until lag_days past the boundary."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.sources.interval_sync import IntervalSyncJob
+    from jitsu_spark.sources.report_configs import google_play_driver
+
+    src = os.path.join(tmpdir_path, "sales_src")
+    spark.createDataFrame(
+        [
+            ("app1", "US", 2, 1.99, dt.datetime(2023, 12, 15)),
+            ("app1", "US", 1, 1.99, dt.datetime(2023, 12, 20)),
+            ("app1", "DE", 1, 2.49, dt.datetime(2024, 1, 5)),
+            ("app2", "US", 3, 0.99, dt.datetime(2024, 1, 20)),
+        ],
+        "product_id string, country string, units int, amount double,"
+        " ts timestamp",
+    ).write.parquet(src)
+
+    try:
+        google_play_driver(src, "acc", now="2024-02-02 00:00:00",
+                           collection="reviews")
+        raise AssertionError("expected sales/earnings-only rejection")
+    except ValueError:
+        pass
+
+    drv = google_play_driver(
+        src, account_id="pub1", now="2024-02-02 00:00:00",
+        months_back=3, lag_days=3,
+    )
+    ivs = drv.available_intervals()
+    assert [i.id for i in ivs] == [
+        "UTC_MONTH_2024-02", "UTC_MONTH_2024-01", "UTC_MONTH_2023-12"
+    ]
+    assert ivs[1].lower == "2024-01-01 00:00:00"
+    assert ivs[1].upper == "2024-02-01 00:00:00"
+    assert ivs[2].lower == "2023-12-01 00:00:00"  # year wrap
+    assert ivs[2].upper == "2024-01-01 00:00:00"
+    # lag clock = 01-30: December froze (upper 01-01 < lag), January's
+    # bundle is still inside the lag window -> moving signature
+    assert drv.signature(ivs[2]) == "2024-01-01T00:00:00.000Z"
+    assert drv.signature(ivs[1]) == "2024-01-30T00:00:00.000Z"
+
+    schema = T.StructType([
+        T.StructField("report_id", T.StringType()),
+        T.StructField("report_date", T.TimestampType()),
+        T.StructField("account_id", T.StringType()),
+        T.StructField("product_id", T.StringType()),
+        T.StructField("country", T.StringType()),
+        T.StructField("units", T.LongType()),
+        T.StructField("charged_amount", T.DecimalType(28, 2)),
+        T.StructField("_time_chunk", T.StringType()),
+        T.StructField("_interval_start", T.TimestampType()),
+        T.StructField("_interval_end", T.TimestampType()),
+    ])
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), schema, "report_id",
+        n_buckets=4, properties={"write.stats.column": "report_date"},
+    )
+    job = IntervalSyncJob(
+        t, drv, "report_date", os.path.join(tmpdir_path, "state.json"),
+        job_id="gplay",
+    )
+    r1 = job.run_once(spark)
+    assert set(r1.statuses.values()) == {"NEW"}
+    state = {
+        (r["_time_chunk"], r["product_id"], r["country"]):
+            (r["units"], float(r["charged_amount"]), r["account_id"])
+        for r in t.read().collect()
+    }
+    assert state[("UTC_MONTH_2023-12", "app1", "US")] == (3, 3.98, "pub1")
+    assert state[("UTC_MONTH_2024-01", "app1", "DE")] == (1, 2.49, "pub1")
+    assert state[("UTC_MONTH_2024-01", "app2", "US")] == (3, 0.99, "pub1")
+
+    # next run: December frozen -> UPTODATE; January re-syncs while its
+    # signature still moves
+    drv.now = "2024-02-03 00:00:00"
+    r2 = job.run_once(spark)
+    assert r2.statuses["UTC_MONTH_2023-12"] == "UPTODATE"
+    assert r2.statuses["UTC_MONTH_2024-01"] == "REFRESH"
+
+
 def test_singer_message_parsing(spark):
     """SCHEMA/RECORD/STATE split, typed record extraction with corrupt
     dead-lettering, and last-state bookmark selection."""
@@ -498,6 +720,52 @@ def test_singer_tap_crash_resume_no_dupes(spark, tmpdir_path):
     # any overlap
     allrows = job.tables["users"].read().collect()
     assert len(allrows) == len({r["event_id"] for r in allrows}) == 12
+
+
+def test_singer_tap_mor_mode_with_compaction_cadence(spark, tmpdir_path):
+    """Steady-state Singer: stream tables in write.mode=mor (portion
+    merges are O(portion) delta writes) with the portion-cadence
+    compaction folding deltas back to base. Final state identical to the
+    CoW sync; per-bucket file counts stay bounded; crash-resume still
+    converges."""
+    import os
+    import sys
+
+    from jitsu_spark.sources.singer_tap import SingerTapJob
+
+    tap = os.path.join(tmpdir_path, "tap.py")
+    with open(tap, "w") as f:
+        f.write(_TAP_SCRIPT)
+    job = SingerTapJob(
+        spark=spark,
+        tap_cmd=[sys.executable, tap, "--crash-after", "3"],
+        work_dir=os.path.join(tmpdir_path, "work"),
+        tables_root=os.path.join(tmpdir_path, "tables"),
+        job_id="singer-mor",
+        n_buckets=4,
+        table_properties={"write.mode": "mor"},
+        compact_every_n_portions=2,
+        compact_max_files_per_bucket=1,
+    )
+    try:
+        job.run_once()
+        raise AssertionError("expected tap crash")
+    except RuntimeError:
+        pass
+    job.tap_cmd = [sys.executable, tap]
+    rep = job.run_once()
+    assert rep.tap_exit_code == 0
+    t = job.tables["users"]
+    assert t.snapshot().properties.get("write.mode") == "mor"
+    rows = {
+        r["id"]: (r["name"], r["balance"]) for r in t.read().collect()
+    }
+    assert rows == _expected_users()
+    snap = t.snapshot()
+    # 4 portions of deltas would pile up ~4 files/bucket unbounded; the
+    # cadence folds them (compaction ran at portions 2 and 4)
+    assert any(e.get("kind") == "compact" for e in snap.lineage)
+    assert max((len(es) for es in snap.files.values()), default=0) <= 3
 
 
 def test_stream_auto_compaction_bounds_files(spark, tmpdir_path):
@@ -975,6 +1243,114 @@ print(json.dumps({"type": "STATE", "value": {"bookmark": 1}}))
     except ValueError as e:
         assert "event_id" in str(e)
     assert "users" not in job.tables  # nothing merged
+
+
+_MULTI_STREAM_TAP = r'''
+import argparse, json
+p = argparse.ArgumentParser()
+p.add_argument("-c", "--config", default=None)
+p.add_argument("--catalog", default=None)
+p.add_argument("-p", "--properties", default=None)
+p.add_argument("--state", default=None)
+p.add_argument("--discover", action="store_true")
+a = p.parse_args()
+streams = {
+    "users":  {"id": {"type": "integer"}, "name": {"type": "string"}},
+    "orders": {"oid": {"type": "integer"}, "total": {"type": "number"}},
+    "logs":   {"line": {"type": "string"}},
+}
+keys = {"users": ["id"], "orders": ["oid"], "logs": []}
+if a.discover:
+    print(json.dumps({"streams": [
+        {"tap_stream_id": s, "stream": s,
+         "schema": {"properties": props}, "key_properties": keys[s]}
+        for s, props in streams.items()]}))
+    raise SystemExit(0)
+# deliberately IGNORES the catalog content: emits all three streams, so
+# the engine-side selection filter is what's under test
+for s, props in streams.items():
+    print(json.dumps({"type": "SCHEMA", "stream": s,
+                      "schema": {"properties": props},
+                      "key_properties": keys[s]}))
+print(json.dumps({"type": "RECORD", "stream": "users",
+                  "record": {"id": 1, "name": "a"}}))
+print(json.dumps({"type": "RECORD", "stream": "orders",
+                  "record": {"oid": 7, "total": 9.5}}))
+print(json.dumps({"type": "RECORD", "stream": "logs",
+                  "record": {"line": "noise"}}))
+print(json.dumps({"type": "STATE", "value": {"bookmark": 1}}))
+'''
+
+
+def test_singer_tap_catalog_selection_and_discover(spark, tmpdir_path):
+    """Reference catalog semantics (singer.go:101-104,187-188,274): the
+    catalog is passed to the tap as --catalog AND enforced engine-side —
+    a 3-stream tap with a 2-stream-selected catalog syncs exactly 2
+    tables; discover() runs the tap with --discover and returns the
+    catalog, from which catalog_schemas() derives Spark schemas."""
+    import os
+    import sys
+
+    from pyspark.sql import types as T
+
+    from jitsu_spark.sources.singer_tap import (
+        SingerTapJob,
+        catalog_schemas,
+        selected_streams,
+    )
+
+    tap = os.path.join(tmpdir_path, "tap.py")
+    with open(tap, "w") as f:
+        f.write(_MULTI_STREAM_TAP)
+    job = SingerTapJob(
+        spark=spark,
+        tap_cmd=[sys.executable, tap],
+        work_dir=os.path.join(tmpdir_path, "work"),
+        tables_root=os.path.join(tmpdir_path, "tables"),
+        job_id="singer-cat",
+    )
+
+    cat = job.discover()
+    schemas = catalog_schemas(cat)
+    assert set(schemas) == {"users", "orders", "logs"}
+    assert schemas["users"]["id"].dataType == T.LongType()
+    assert schemas["orders"]["total"].dataType == T.DoubleType()
+
+    # select 2 of 3 via the standard breadcrumb-[] metadata entry
+    for s in cat["streams"]:
+        s["metadata"] = [{
+            "breadcrumb": [],
+            "metadata": {"selected": s["stream"] != "logs"},
+        }]
+    assert selected_streams(cat) == {"users", "orders"}
+
+    job.catalog = cat
+    rep = job.run_once()
+    assert rep.tap_exit_code == 0 and rep.portions == 1
+    assert set(job.tables) == {"users", "orders"}  # logs never created
+    assert not os.path.exists(
+        os.path.join(tmpdir_path, "tables", "logs")
+    )
+    assert {r["id"] for r in job.tables["users"].read().collect()} == {1}
+    assert {
+        (r["oid"], r["total"])
+        for r in job.tables["orders"].read().collect()
+    } == {(7, 9.5)}
+    # the catalog file really was handed to the tap
+    assert os.path.exists(os.path.join(tmpdir_path, "work", "catalog.json"))
+
+
+def test_singer_catalog_whitelist_without_flags():
+    """A catalog with NO selection flags anywhere acts as a whitelist:
+    every listed stream is selected."""
+    from jitsu_spark.sources.singer_tap import selected_streams
+
+    cat = {"streams": [{"stream": "a"}, {"tap_stream_id": "b"}]}
+    assert selected_streams(cat) == {"a", "b"}
+    # legacy top-level flag also honored
+    cat2 = {"streams": [{"stream": "a", "selected": True},
+                        {"stream": "b", "selected": False}]}
+    assert selected_streams(cat2) == {"a"}
 
 
 def test_singer_tap_mid_portion_schema_order(spark, tmpdir_path):
