@@ -1107,11 +1107,17 @@ def q_recognition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     root = _scratch("recog")
+    # MoR everywhere (r5): destination AND the reconciler's state tables
+    # take O(batch) delta writes — the steady-state mode for a hot
+    # recognition loop; readers reconcile only delta-bearing buckets, so
+    # the returned fixpoint must be identical to the CoW run
     dest = LakeTable.create(
         spark, os.path.join(root, "dest"), dest_schema, "event_id",
-        n_buckets=16,
+        n_buckets=16, properties={"write.mode": "mor"},
     )
-    rec = UserRecognition(spark, root, dest)
+    rec = UserRecognition(
+        spark, root, dest, table_properties={"write.mode": "mor"}
+    )
     hi = env.agg(F.max("seq")).collect()[0][0] or 0
     per = hi // 3 + 1
     for i in range(3):

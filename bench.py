@@ -97,6 +97,105 @@ def bench_cdc_replay(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_interval_sync(spark, sf_dir: str, days_back: int = 8) -> float:
+    """Source-driver family: GA-shaped day-interval pull sync over the
+    events table — days_back intervals, each an aggregated report landed
+    via a stats-pruned atomic overwrite. Times ONE full run_once (the
+    dominant cost is per-interval commit + report aggregation; the gate
+    query's 31-day x 2-run shape at sf0.1 takes ~60 s, too heavy to rep)."""
+    import tempfile as _tf
+
+    from pyspark.sql import types as T2
+
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.sources.ga_driver import GaShapedReportDriver
+    from jitsu_spark.sources.interval_sync import IntervalSyncJob
+
+    work = _tf.mkdtemp(prefix="jitsu_bench_itv_")
+    try:
+        schema = T2.StructType([
+            T2.StructField("report_id", T2.StringType()),
+            T2.StructField("report_date", T2.TimestampType()),
+            T2.StructField("event_type", T2.StringType()),
+            T2.StructField("sessions", T2.LongType()),
+            T2.StructField("revenue", T2.DecimalType(28, 2)),
+            T2.StructField("_time_chunk", T2.StringType()),
+            T2.StructField("_interval_start", T2.TimestampType()),
+            T2.StructField("_interval_end", T2.TimestampType()),
+        ])
+        table = LakeTable.create(
+            spark, os.path.join(work, "tbl"), schema, "report_id",
+            n_buckets=8, properties={"write.stats.column": "report_date"},
+        )
+        drv = GaShapedReportDriver(
+            source_path=os.path.join(sf_dir, "events.parquet"),
+            ts_col="ts",
+            dimensions=["event_type"],
+            metrics={"sessions": ("count", "*"),
+                     "revenue": ("sum_money", "value")},
+            now="2024-01-20 00:00:00",
+            days_back=days_back,
+        )
+        job = IntervalSyncJob(
+            table, drv, "report_date", os.path.join(work, "state.json"),
+            job_id="bench-itv",
+        )
+        t0 = time.time()
+        job.run_once(spark)
+        return time.time() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_singer_tap(spark, n_records: int, n_portions: int = 5) -> float:
+    """Source-driver family: a real Singer tap subprocess emitting
+    n_records across n_portions STATE-bounded portions, synced through
+    SingerTapJob (spool -> columnar parse -> keyed MERGE per portion)."""
+    import sys as _sys
+    import tempfile as _tf
+
+    from jitsu_spark.sources.singer_tap import SingerTapJob
+
+    work = _tf.mkdtemp(prefix="jitsu_bench_singer_")
+    try:
+        tap = os.path.join(work, "tap.py")
+        with open(tap, "w") as f:
+            f.write(
+                "import json, sys\n"
+                f"N, P = {n_records}, {n_portions}\n"
+                "print(json.dumps({'type': 'SCHEMA', 'stream': 'events',"
+                " 'schema': {'properties': {'id': {'type': 'integer'},"
+                " 'name': {'type': 'string'},"
+                " 'v': {'type': 'number'}}},"
+                " 'key_properties': ['id']}))\n"
+                "per = N // P\n"
+                "w = sys.stdout.write\n"
+                "for p in range(P):\n"
+                "    lines = []\n"
+                "    for i in range(p * per, (p + 1) * per):\n"
+                "        lines.append(json.dumps({'type': 'RECORD',"
+                " 'stream': 'events', 'record':"
+                " {'id': i % (N * 3 // 4 + 1), 'name': 'n%d' % i,"
+                " 'v': float(i)}}))\n"
+                "    w('\\n'.join(lines) + '\\n')\n"
+                "    print(json.dumps({'type': 'STATE',"
+                " 'value': {'bookmark': p + 1}}))\n"
+            )
+        job = SingerTapJob(
+            spark=spark,
+            tap_cmd=[_sys.executable, tap],
+            work_dir=os.path.join(work, "state"),
+            tables_root=os.path.join(work, "tables"),
+            n_buckets=16,
+            job_id="bench-singer",
+        )
+        t0 = time.time()
+        job.run_once()
+        return time.time() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -173,6 +272,28 @@ def main() -> None:
             el = round(time.time() - t0, 3)
             queries[name] = min(queries.get(name, el), el)
 
+    # source-driver family (r5): end-to-end drives through the real
+    # orchestration — per-interval overwrite commits, tap subprocess
+    # portions, full-snapshot replace. Same min-of-reps protocol; shapes
+    # bounded so the family fits the bench budget (the 31-day gate query
+    # is ~60 s/run at sf0.1 — correctness covers it, this tracks perf).
+    n_singer = int(os.environ.get("JITSU_BENCH_SINGER_RECORDS", "50000"))
+    for rep in range(reps):
+        el = round(bench_interval_sync(spark, sf_dir), 3)
+        queries["interval_sync_8day"] = min(
+            queries.get("interval_sync_8day", el), el
+        )
+        el = round(bench_singer_tap(spark, n_singer), 3)
+        queries["singer_tap_50k"] = min(queries.get("singer_tap_50k", el), el)
+        t0 = time.time()
+        _noop_write(entry.q_snapshot_sync(spark, sf_dir))
+        el = round(time.time() - t0, 3)
+        queries["snapshot_sync"] = min(queries.get("snapshot_sync", el), el)
+    extras["singer_records"] = n_singer
+    extras["singer_records_per_sec"] = round(
+        n_singer / queries["singer_tap_50k"], 1
+    )
+
     # sf1-equivalent section: inflate EVERY family's tables 10x (no native
     # sf1 parquet exists) and rerun one representative per family, so a
     # scale regression in any family is visible round-over-round, not just
@@ -240,6 +361,11 @@ def main() -> None:
                 # ANN family
                 "embedding_topk_10x": entry.q_embedding_topk,
                 "ann_lsh_topk_10x": entry.q_ann_lsh_topk,
+                # source-driver family: full-snapshot sync scales with
+                # the documents table; the interval driver's report path
+                # scales with events (timed separately below — it is a
+                # job drive, not a _noop_write scan)
+                "snapshot_sync_10x": entry.q_snapshot_sync,
             }
             # recorded as extras, NOT in the headline total: the inflated
             # corpus is near-dup-heavy by construction (it stresses the
@@ -252,6 +378,10 @@ def main() -> None:
                     _noop_write(fn(spark, inflated))
                     el = round(time.time() - t0, 3)
                     sf1_queries[name] = min(sf1_queries.get(name, el), el)
+                el = round(bench_interval_sync(spark, inflated), 3)
+                sf1_queries["interval_sync_8day_10x"] = min(
+                    sf1_queries.get("interval_sync_8day_10x", el), el
+                )
             extras["sf1_queries"] = sf1_queries
             extras["docs_scale"] = docs_scale
         finally:

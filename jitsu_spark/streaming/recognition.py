@@ -77,19 +77,27 @@ class UserRecognition:
         anon_col: str = "anon_id",
         user_col: str = "user_id",
         broadcast_row_threshold: int = 200_000,
+        table_properties: dict | None = None,
     ):
+        """``table_properties`` applies to the lazily-created identities
+        and pending STATE tables — {"write.mode": "mor"} makes every
+        park/unpark/identity merge an O(batch) delta write, the
+        steady-state mode for a hot recognition loop (the destination's
+        mode is whatever its own table was created with)."""
         self.spark = spark
         self.destination = destination
         self.event_id_col = event_id_col
         self.anon_col = anon_col
         self.user_col = user_col
         self.broadcast_row_threshold = broadcast_row_threshold
+        self.table_properties = dict(table_properties or {})
         id_root = os.path.join(root, "_identities")
         if LakeTable.exists(id_root):
             self.identities = LakeTable.load(spark, id_root)
         else:
             self.identities = LakeTable.create(
-                spark, id_root, IDENTITY_SCHEMA, "anon_id", n_buckets=16
+                spark, id_root, IDENTITY_SCHEMA, "anon_id", n_buckets=16,
+                properties=dict(self.table_properties),
             )
         self._pending_root = os.path.join(root, "_pending")
         self._pending: LakeTable | None = (
@@ -105,7 +113,7 @@ class UserRecognition:
             )
             self._pending = LakeTable.create(
                 self.spark, self._pending_root, schema, self.event_id_col,
-                n_buckets=16,
+                n_buckets=16, properties=dict(self.table_properties),
             )
         return self._pending
 

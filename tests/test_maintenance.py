@@ -510,6 +510,115 @@ def test_expire_snapshots_safe_respects_consumer_cursors(spark, tmpdir_path):
     assert t.read().count() == 6
 
 
+def test_metadata_soak_1000_commits_bounded(spark, tmpdir_path):
+    """Metadata soak (r4 VERDICT item): 10^3 commits with manifest
+    compaction + snapshot expiry on cadence. Asserts the three
+    boundedness properties a long-lived stream depends on:
+
+    - on-disk descriptor count stays O(keep_last + cadence window), not
+      O(stream age);
+    - per-commit metadata work stays O(1) amortized: descriptor SIZE is
+      bounded (committed manifest folds to a watermark, lineage archives)
+      instead of growing linearly with 10^3 batches;
+    - exactly-once survives folding: every applied batch id — sampled
+      across the full range — still reads as committed;
+    - a CONCURRENT READER hammering current_version()/load_snapshot()
+      throughout (hint flock + roll-forward + expiry floor interplay)
+      never observes an error.
+
+    The commits are synthetic metadata commits (one manifest entry + one
+    lineage row, exactly what a merge appends); Spark data jobs would
+    only slow the soak without exercising any additional metadata path —
+    the real-merge interplay is covered by
+    test_stream_auto_compaction_bounds_files."""
+    import threading
+
+    from jitsu_spark.lake import metadata as md
+    from jitsu_spark.lake.maintenance import compact_manifest, expire_snapshots
+    from jitsu_spark.lake.merge import is_committed
+
+    t = make_table(spark, tmpdir_path, n_buckets=4)
+    md_dir = os.path.join(t.root, "metadata")
+
+    reader_errors: list[Exception] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                v = md.current_version(t.root)
+                snap = md.load_snapshot(t.root, v)
+                assert snap.version == v
+            except Exception as e:  # noqa: BLE001 - collected for assert
+                reader_errors.append(e)
+                return
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+
+    N = 1000
+    max_desc_bytes = 0
+    for i in range(N):
+        snap = t.snapshot()
+        new = md.Snapshot(
+            version=snap.version + 1,
+            key_field=snap.key_field,
+            n_buckets=snap.n_buckets,
+            schema_json=snap.schema_json,
+            schemas=snap.schemas,
+            current_schema_id=snap.current_schema_id,
+            files=snap.files,
+            committed=snap.committed + [f"soak/{i}"],
+            lineage=snap.lineage
+            + [{"version": snap.version + 1, "kind": "merge", "batch_id": i}],
+            properties=snap.properties,
+            parent=snap.version,
+        )
+        md.commit_snapshot(t.root, new)
+        max_desc_bytes = max(
+            max_desc_bytes,
+            os.path.getsize(os.path.join(md_dir, f"v{new.version}.json")),
+        )
+        if (i + 1) % 50 == 0:
+            compact_manifest(t, keep_lineage=100, keep_recent_batches=25)
+            expire_snapshots(t, keep_last=20)
+
+    stop.set()
+    th.join(10)
+    assert not reader_errors, reader_errors[:3]
+
+    # descriptor COUNT bounded: keep_last + one cadence window of commits
+    # (+ compaction's own commits), nowhere near the 10^3 written
+    vfiles = [
+        f for f in os.listdir(md_dir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    assert len(vfiles) <= 20 + 50 + 5, len(vfiles)
+
+    # descriptor SIZE bounded: the manifest folded + lineage archived on
+    # cadence, so no descriptor ever approached O(N) entries. Generous
+    # ceiling: ~175 explicit manifest ids + ~150 lineage rows max between
+    # compactions, far under even a conservative 100 KB.
+    assert max_desc_bytes < 100_000, max_desc_bytes
+
+    cur = t.snapshot()
+    assert len(cur.committed) <= 1 + 25 + 50 + 2, len(cur.committed)
+    assert len(cur.lineage) <= 100 + 50 + 2, len(cur.lineage)
+
+    # exactly-once after folding: every id ever applied still committed
+    for k in (0, 1, 499, 500, 950, N - 1):
+        assert is_committed(cur, "soak", k), k
+    assert not is_committed(cur, "soak", N)
+
+    # full lineage record survives in the archive + current snapshot
+    from jitsu_spark.lake.maintenance import full_history
+
+    hist_ids = {
+        e.get("batch_id") for e in full_history(t) if e.get("kind") == "merge"
+    }
+    assert set(range(N)) <= hist_ids
+
+
 def test_regressed_hint_below_expiry_horizon_self_heals(spark, tmpdir_path):
     """The r4 review's wedge scenario: a stalled hint repairer regresses
     the hint to a version whose descriptor expire_snapshots has already

@@ -78,6 +78,69 @@ def test_retrospective_recognition(spark, tmpdir_path):
     } == {"U1"}
 
 
+def test_recognition_mor_with_snapshot_expiry(spark, tmpdir_path):
+    """Steady-state recognition: ALL tables (destination + identities +
+    pending) in write.mode=mor, with consumer-cursor-safe snapshot expiry
+    running between batches. The expiry horizon floors at a lagging
+    mirror's sync cursor, so the mirror can still catch up exactly; the
+    recognition fixpoint is identical to the CoW run's."""
+    from jitsu_spark.lake import sync_mirror
+    from jitsu_spark.lake.maintenance import expire_snapshots_safe
+
+    dest = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "dest"), DEST_SCHEMA, "event_id",
+        n_buckets=4, properties={"write.mode": "mor"},
+    )
+    mirror = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "mirror"), DEST_SCHEMA, "event_id",
+        n_buckets=4,
+    )
+    rec = UserRecognition(
+        spark, tmpdir_path, dest, table_properties={"write.mode": "mor"}
+    )
+    assert rec.identities.snapshot().properties.get("write.mode") == "mor"
+
+    b0 = spark.createDataFrame(
+        [ev(1, "e1", "a1", None), ev(2, "e2", "a1", None),
+         ev(3, "e3", None, "u3")],
+        BATCH_SCHEMA,
+    )
+    rec.apply_batch(b0, batch_id=0)
+    sync_mirror(dest, mirror, job_id="m")  # mirror cursor parks here
+    assert rec._pending.snapshot().properties.get("write.mode") == "mor"
+
+    # several more batches advance the destination while the mirror lags
+    b1 = spark.createDataFrame([ev(4, "e4", "a1", "U1", 9.0)], BATCH_SCHEMA)
+    rec.apply_batch(b1, batch_id=1)
+    b2 = spark.createDataFrame([ev(5, "e5", "a1", None, 2.0)], BATCH_SCHEMA)
+    rec.apply_batch(b2, batch_id=2)
+
+    # aggressive expiry request on every table: the destination's horizon
+    # must floor at the lagging mirror's cursor; the state tables have no
+    # registered consumers and expire down to the minimum window
+    cur = dest.snapshot().version
+    expired = expire_snapshots_safe(dest, [(mirror, "m")], keep_last=2)
+    assert all(v < cur for v in expired)
+    expire_snapshots_safe(rec.identities, [], keep_last=2)
+    expire_snapshots_safe(rec._pending, [], keep_last=2)
+
+    # lagging mirror catches up across the expiry — cursor floor held
+    sync_mirror(dest, mirror, job_id="m")
+    dest_rows = {r["event_id"]: r["user_id"] for r in dest.read().collect()}
+    assert dest_rows == {
+        "e1": "U1", "e2": "U1", "e3": "u3", "e4": "U1", "e5": "U1"
+    }
+    mirror_rows = {
+        r["event_id"]: r["user_id"] for r in mirror.read().collect()
+    }
+    assert mirror_rows == dest_rows
+    assert rec._pending.read().count() == 0
+    # reconciler keeps working after expiry: a new anon for a known id
+    b3 = spark.createDataFrame([ev(6, "e6", "a1", None, 3.0)], BATCH_SCHEMA)
+    r3 = rec.apply_batch(b3, batch_id=3)
+    assert r3.n_recognized_in_batch == 1 and r3.n_parked == 0
+
+
 def test_unkeyed_events_route_to_destination(spark, tmpdir_path):
     """Events with neither user_id nor anon_id (e.g. a delete envelope
     without ids) must reach the destination merge, not vanish."""

@@ -410,6 +410,99 @@ def test_interval_driver_paginated_reads(spark, tmpdir_path):
     assert sync("paged", 2) == sync("oneshot", None)
 
 
+def test_interval_sync_into_mor_table(spark, tmpdir_path):
+    """IntervalSyncJob targeting a write.mode=mor destination: the table
+    already carries MERGE deltas (stale report rows landed via the merge
+    path); the interval overwrite detects the deltas, reconciles through
+    the MoR read, and replaces the interval's rows in one atomic commit —
+    rows outside the interval survive, stale in-interval rows are gone,
+    and the post-overwrite snapshot carries no delta entries for the
+    rewritten data (the overwrite folds them)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+    from jitsu_spark.sources.ga_driver import GaShapedReportDriver
+    from jitsu_spark.sources.interval_sync import IntervalSyncJob
+
+    src = os.path.join(tmpdir_path, "mor_src")
+    spark.createDataFrame(
+        [("click", 3.0, dt.datetime(2024, 1, 2, 10)),
+         ("view", 1.0, dt.datetime(2024, 1, 2, 11))],
+        "event_type string, value double, ts timestamp",
+    ).write.parquet(src)
+
+    schema = T.StructType([
+        T.StructField("report_id", T.StringType()),
+        T.StructField("report_date", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("sessions", T.LongType()),
+        T.StructField("revenue", T.DecimalType(28, 2)),
+        T.StructField("_time_chunk", T.StringType()),
+        T.StructField("_interval_start", T.TimestampType()),
+        T.StructField("_interval_end", T.TimestampType()),
+    ])
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), schema, "report_id",
+        n_buckets=4,
+        properties={"write.mode": "mor", "write.stats.column": "report_date"},
+    )
+    # seed via the MERGE path: a stale in-interval row + a row outside
+    # the sync window; the second merge leaves genuine delta files
+    env = [T.StructField("seq", T.LongType()), T.StructField("op", T.StringType())]
+    stale = spark.createDataFrame(
+        [(1, "i", "STALE1", dt.datetime(2024, 1, 2), "click", 99,
+          None, "UTC_DAY_2024-01-02", dt.datetime(2024, 1, 2),
+          dt.datetime(2024, 1, 3))],
+        T.StructType(env + list(schema.fields)),
+    )
+    keeper = spark.createDataFrame(
+        [(2, "i", "KEEP1", dt.datetime(2023, 12, 25), "buy", 7,
+          None, "UTC_DAY_2023-12-25", dt.datetime(2023, 12, 25),
+          dt.datetime(2023, 12, 26))],
+        T.StructType(env + list(schema.fields)),
+    )
+    merge_batch(t, stale, batch_id=0, job_id="seed")
+    merge_batch(t, keeper, batch_id=1, job_id="seed")
+    assert any(
+        e.get("kind") == "delta"
+        for es in t.snapshot().files.values() for e in es
+    )
+
+    drv = GaShapedReportDriver(
+        source_path=src, ts_col="ts", dimensions=["event_type"],
+        metrics={"sessions": ("count", "*"),
+                 "revenue": ("sum_money", "value")},
+        now="2024-01-03 00:00:00", days_back=2,
+    )
+    IntervalSyncJob(
+        t, drv, "report_date", os.path.join(tmpdir_path, "state.json"),
+        job_id="mor-itv",
+    ).run_once(spark)
+
+    rows = {
+        (r["_time_chunk"], r["event_type"]): (r["report_id"], r["sessions"])
+        for r in t.read().collect()
+    }
+    # stale in-window row replaced by the fresh report, out-of-window
+    # row survived the reconciled rewrite
+    assert ("UTC_DAY_2024-01-02", "click") in rows
+    assert rows[("UTC_DAY_2024-01-02", "click")][0] != "STALE1"
+    assert rows[("UTC_DAY_2024-01-02", "click")][1] == 1
+    assert rows[("UTC_DAY_2024-01-02", "view")][1] == 1
+    assert rows[("UTC_DAY_2023-12-25", "buy")] == ("KEEP1", 7)
+    assert len(rows) == 3
+    # the overwrite folded the deltas into fresh base files
+    assert not any(
+        e.get("kind") == "delta"
+        for es in t.snapshot().files.values() for e in es
+    )
+
+
 def test_facebook_marketing_shaped_config(spark, tmpdir_path):
     """FB-Marketing insights shape as a named GaShapedReportDriver config
     (facebook_marketing.go:51-62,107-118): DAY intervals, REQUIRED
