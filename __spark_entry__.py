@@ -368,6 +368,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d, "doc_id", "text")
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: high-byte blocking join + exact Hamming
+    filter — the deterministic composition is recomputed wholesale by the
+    oracle (fingerprints, blocking, xor popcount), so the gate covers the
+    pair surface, not just the fingerprints."""
+    from jitsu_spark.dedup.simhash import simhash_near_pairs
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=4).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jitsu_spark.similarity import cosine_topk
 
@@ -627,6 +640,25 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(d, "doc_id", "text", k=8, bands=4, shingle_n=3)
 
 
+def q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard VERIFICATION of the LSH candidate pairs
+    (the verify stage of the near-dup pipeline, exposed directly): per
+    candidate pair, the exact shingle-set intersection/union sizes.
+    Integers only — jaccard itself is n_inter/n_union and is left implicit
+    so no float crosses the gate surface."""
+    from jitsu_spark.dedup.minhash import ngram_jaccard_pairs
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, k=8, bands=4
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_union").cast("long").alias("n_union"),
+    )
+
+
 def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify ->
     connected components (iterative min-label propagation) -> keeper per
@@ -649,6 +681,22 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, "vec_id", "vec_id", "embedding", k=5, dim=128, n_planes=8,
         n_probes=4,
     )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via shared LSH buckets
+    (md5-Rademacher planes, public construction): the oracle recomputes
+    the planes, signatures, bucket join and cosine in SQL, so the WHOLE
+    near-dup surface — not just a sample — is value-checked. The
+    synthetic embeddings carry no true near-dups (max same-bucket cosine
+    ~0.40), so the gate threshold sits at the top of the observed
+    distribution — same plumbing, non-empty result."""
+    from jitsu_spark.similarity import embedding_near_dups
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dups(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=8, seed=42
+    ).select("id_a", "id_b", "sim")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1323,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_select": q_corpus_select,
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
         "ga_payload": q_ga_payload,
@@ -1330,9 +1379,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "lsh_candidates": q_lsh_candidates,
+        "jaccard_verify": q_jaccard_verify,
         "near_dup_components": q_near_dup_components,
         "near_dup_star": q_near_dup_star,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
         "transform_fanout": q_transform_fanout,
         "token_multiplex": q_token_multiplex,
@@ -1743,6 +1794,36 @@ def oracle_sql() -> dict[str, str]:
                 f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
             ),
         ),
+        "simhash_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(t.w), 1, 4))::BIGINT AS hv
+                FROM documents, unnest(string_split(text, ' ')) AS t(w)
+            ),
+            votes AS (
+                SELECT doc_id,
+                       {sums}
+                FROM toks GROUP BY doc_id
+            ),
+            sh AS (
+                SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM votes
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM sh a JOIN sh b
+              ON (a.simhash // 256) = (b.simhash // 256)
+             AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+        """.format(
+            sums=", ".join(
+                f"sum(CASE WHEN (hv // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+                for b in range(16)
+            ),
+            recon=" + ".join(
+                f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+            ),
+        ),
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 8),
@@ -1891,6 +1972,54 @@ def oracle_sql() -> dict[str, str]:
                 for i in range(8)
             )
         ),
+        # exact trigram-Jaccard verify of the SAME candidate set: shingle
+        # sets are distinct lists, so intersection via list_filter +
+        # containment is set semantics; union = |a| + |b| - inter
+        "jaccard_verify": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) >= 3
+                            THEN list_distinct(list_transform(
+                                     range(1, len(tk)-1),
+                                     i -> array_to_string(tk[i:i+2], ' ')))
+                            ELSE [array_to_string(tk, ' ')] END AS s
+                FROM toks
+            ),
+            mh AS (
+                SELECT doc_id,
+                       {mins}
+                FROM sh
+            ),
+            bands AS (
+                SELECT doc_id, 0 AS band_no, md5(m0||'|'||m1) AS bh FROM mh
+                UNION ALL SELECT doc_id, 1, md5(m2||'|'||m3) FROM mh
+                UNION ALL SELECT doc_id, 2, md5(m4||'|'||m5) FROM mh
+                UNION ALL SELECT doc_id, 3, md5(m6||'|'||m7) FROM mh
+            ),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM bands l JOIN bands r
+                  ON l.band_no = r.band_no AND l.bh = r.bh
+                 AND l.doc_id < r.doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                        AS BIGINT) AS n_inter,
+                   CAST(len(a.s) + len(b.s)
+                        - len(list_filter(a.s, x -> list_contains(b.s, x)))
+                        AS BIGINT) AS n_union
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b
+        """.format(
+            mins=", ".join(
+                f"list_min(list_transform(s, w -> md5('{i}#'||w))) AS m{i}"
+                for i in range(8)
+            )
+        ),
         "near_dup_components": """
             WITH RECURSIVE toks AS (
                 SELECT doc_id, string_split(text, ' ') AS tk FROM documents
@@ -1989,6 +2118,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid AS vec_id_q, cid AS vec_id_c, sim, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "embedding_near_dups": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            proj AS (
+                SELECT e.vec_id, tj.j,
+                       sum(e.v[td.dd+1] *
+                           CASE WHEN (('0x'||substr(
+                                    md5(42||'#'||tj.j||'#'||td.dd),1,2))::INT
+                                 % 2) = 0
+                                THEN 1.0 ELSE -1.0 END) AS dot
+                FROM e, generate_series(0,7) tj(j),
+                     unnest(range(len(e.v))) AS td(dd)
+                GROUP BY e.vec_id, tj.j
+            ),
+            s AS (
+                SELECT p.vec_id, e.v,
+                       sum(CASE WHEN p.dot > 0 THEN 1<<p.j ELSE 0 END)::BIGINT
+                           AS sig
+                FROM proj p JOIN e USING (vec_id) GROUP BY p.vec_id, e.v
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS sim
+            FROM s a JOIN s b
+              ON a.sig = b.sig AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
         """,
         "multimodal_features": """
             WITH m AS (

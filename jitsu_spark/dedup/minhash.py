@@ -227,7 +227,12 @@ def ngram_jaccard_pairs(
     """Exact word-``shingle_n``-gram Jaccard for candidate pairs (default:
     LSH candidates). Returns (id_a, id_b, n_inter, n_union, jaccard)."""
     if pairs is None:
-        pairs = lsh_candidate_pairs(df, id_col, text_col, k=k, bands=bands)
+        # forward shingle_n: generating candidates on unigram shingles
+        # while verifying on n-grams would produce a hugely inflated
+        # candidate set (r5 gate caught exactly this)
+        pairs = lsh_candidate_pairs(
+            df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n
+        )
     sh = df.select(
         F.col(id_col), _shingles(F.col(text_col), shingle_n).alias("_sh")
     )
