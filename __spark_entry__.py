@@ -425,6 +425,41 @@ def q_fb_user_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "ud_ph", "ud_country", "em")
 
 
+def q_conversion_send(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 send path end-to-end: GA payloads -> deterministic md5 batch
+    assignment -> NDJSON spool -> executor-side fan-out send through a
+    transport that permanently fails batches with batch_no % 5 == 2 ->
+    durable ack ledger. The gate checks the LEDGER (batch assignment,
+    per-batch event counts, sent/failed statuses, retry attempts), which
+    is the whole orchestration surface; the oracle recomputes assignment
+    and the poison rule in SQL."""
+    from jitsu_spark.operators.conversion import ga_payload
+    from jitsu_spark.operators.sender import ConversionSendJob
+
+    e = _read(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("cid"),
+        F.col("event_type").alias("t"),
+        F.col("value").cast("string").alias("ev"),
+    )
+    payloads = ga_payload(e, tracking_id="UA-1", fields=["cid", "t", "ev"]).select(
+        F.col("cid").alias("event_id"), F.col("ga_payload").alias("payload")
+    )
+
+    def transport(batch_no: int, batch_payloads: list[str]) -> None:
+        if batch_no % 5 == 2:
+            raise RuntimeError("poisoned")
+
+    job = ConversionSendJob(
+        _scratch("conv_send"), transport, n_batches=16, max_retries=3
+    )
+    job.spool(payloads)
+    job.send(spark)
+    return job.ack_frame(spark).select(
+        "batch_no", "status", F.col("attempts").cast("int").alias("attempts"),
+        "n_events",
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic sampled-centroid coarse quantizer, n_probe
     cells, exact re-rank (the second scale path next to LSH)."""
@@ -1376,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ga_payload": q_ga_payload,
         "fb_user_hash": q_fb_user_hash,
+        "conversion_send": q_conversion_send,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "lsh_candidates": q_lsh_candidates,
@@ -1868,6 +1904,22 @@ def oracle_sql() -> dict[str, str]:
                         THEN sha256('user' || user_id || '@example.com')
                         ELSE md5(CAST(user_id AS VARCHAR)) END AS em
             FROM events
+        """,
+        # W10 send ledger: md5-bucket batch assignment + poison rule
+        # (batch_no % 5 == 2 -> failed after 3 retries) recomputed in SQL
+        "conversion_send": """
+            WITH b AS (
+                SELECT (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))
+                            ::BIGINT % 16) AS batch_no
+                FROM events
+            )
+            SELECT CAST(batch_no AS INT) AS batch_no,
+                   CASE WHEN batch_no % 5 = 2 THEN 'failed'
+                        ELSE 'sent' END AS status,
+                   CAST(CASE WHEN batch_no % 5 = 2 THEN 3 ELSE 1 END AS INT)
+                       AS attempts,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM b GROUP BY batch_no
         """,
         "ivf_topk": """
             WITH e AS (

@@ -464,3 +464,121 @@ def test_transform_preview_new_table_create(spark):
     assert tp.ddl[0].startswith("CREATE TABLE")
     vals = {f["field"]: f["value"] for f in tp.fields}
     assert vals["event_type"] == "click" and vals["n"] == 1
+
+
+# W10 send path: spool -> batched executor-side send -> ack manifest
+
+
+def _payloads_df(spark, n=100):
+    from jitsu_spark.operators.conversion import ga_payload
+
+    rows = [(str(i), "event", str(i % 7)) for i in range(n)]
+    return ga_payload(
+        spark.createDataFrame(rows, ["cid", "t", "ev"]), tracking_id="UA-9"
+    ).selectExpr("cid as event_id", "ga_payload as payload")
+
+
+def _fs_transport(calls_dir, poison=lambda b: False, heal_flag=None):
+    """Picklable transport that logs one O_EXCL marker file per call and
+    fails poisoned batches unless the heal flag file exists."""
+    import os
+
+    def transport(batch_no, payloads):
+        assert all(isinstance(p, str) and "tid=UA-9" in p for p in payloads)
+        i = 0
+        while True:
+            try:
+                fd = os.open(
+                    os.path.join(calls_dir, f"b{batch_no}_{i}"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.close(fd)
+                break
+            except FileExistsError:
+                i += 1
+        if poison(batch_no) and not (heal_flag and os.path.exists(heal_flag)):
+            raise RuntimeError(f"poisoned batch {batch_no}")
+
+    return transport
+
+
+def _calls(calls_dir):
+    import os
+    from collections import Counter
+
+    return Counter(int(n.split("_")[0][1:]) for n in os.listdir(calls_dir))
+
+
+def test_conversion_send_exactly_once_resume(spark, tmpdir_path):
+    import os
+
+    from jitsu_spark.operators.sender import ConversionSendJob
+
+    calls = os.path.join(tmpdir_path, "calls")
+    os.makedirs(calls)
+    job = ConversionSendJob(
+        os.path.join(tmpdir_path, "send"),
+        _fs_transport(calls),
+        id_col="event_id",
+        payload_col="payload",
+        n_batches=8,
+    )
+    counts = job.spool(_payloads_df(spark))
+    assert sum(counts.values()) == 100
+
+    rep = job.send(spark)
+    assert rep.sent == len(counts) and rep.failed == 0
+    assert sum(_calls(calls).values()) == len(counts)  # one call per batch
+
+    # acked batches are skipped on a re-run (exactly-once at the ack level)
+    rep2 = job.send(spark)
+    assert rep2.sent == 0 and sum(_calls(calls).values()) == len(counts)
+
+    # crash window: ack lost after a successful send -> that batch (only)
+    # is re-sent; idempotent receiver absorbs the duplicate
+    lost = sorted(counts)[0]
+    os.remove(os.path.join(job.acks_dir, f"batch_{lost}.json"))
+    rep3 = job.send(spark)
+    assert rep3.sent == 1
+    assert _calls(calls)[lost] == 2
+    assert sum(_calls(calls).values()) == len(counts) + 1
+
+
+def test_conversion_send_retry_dlq_and_replay(spark, tmpdir_path):
+    import os
+
+    from jitsu_spark.operators.sender import ConversionSendJob
+
+    calls = os.path.join(tmpdir_path, "calls")
+    os.makedirs(calls)
+    heal = os.path.join(tmpdir_path, "healed")
+    poison = lambda b: b % 3 == 1  # noqa: E731
+    job = ConversionSendJob(
+        os.path.join(tmpdir_path, "send"),
+        _fs_transport(calls, poison=poison, heal_flag=heal),
+        n_batches=8,
+        max_retries=3,
+    )
+    counts = job.spool(_payloads_df(spark))
+    bad = {b for b in counts if poison(b)}
+    assert bad and bad != set(counts)
+
+    rep = job.send(spark)
+    assert rep.failed == len(bad) and rep.sent == len(counts) - len(bad)
+    acks = job.acks()
+    for b in bad:  # retried to the cap, error recorded
+        assert acks[b]["status"] == "failed"
+        assert acks[b]["attempts"] == 3 and "poisoned" in acks[b]["error"]
+    assert all(_calls(calls)[b] == 3 for b in bad)
+
+    # replay_failed() after the cause is fixed: ONLY failed batches re-send
+    open(heal, "w").close()
+    rep2 = job.replay_failed(spark)
+    assert rep2.sent == len(bad) and rep2.failed == 0
+    assert all(job.acks()[b]["status"] == "sent" for b in counts)
+    good_calls = sum(_calls(calls)[b] for b in counts if b not in bad)
+    assert good_calls == len(counts) - len(bad)  # good batches never re-sent
+
+    # the ack ledger accounts for every spooled event exactly once
+    ledger = job.ack_frame(spark)
+    assert ledger.agg({"n_events": "sum"}).collect()[0][0] == 100
