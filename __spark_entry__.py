@@ -324,6 +324,22 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM n-gram-overlap protocol):
+    per training doc, distinct word-trigram shingles and how many also
+    occur in a synthetic benchmark slice (doc_id % 37 == 0). Broadcast
+    bench shingles -> corpus never shuffles to find hits; the oracle
+    recomputes shingling, the bench set, and the overlap join in SQL."""
+    from jitsu_spark.text.decontam import ngram_contamination
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    train = d.filter(F.col("doc_id") % 37 != 0)
+    return ngram_contamination(train, bench, n=3).select(
+        "doc_id", "n_shingles", "n_hit"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-sequence packing: md5-derived tokens from documents packed
     into 128-token training sequences; per-pack position-weighted
@@ -1404,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "pack_sequences": q_pack_sequences,
         "corpus_select": q_corpus_select,
+        "decontaminate": q_decontaminate,
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1688,6 +1705,36 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(string_split(text, ' '),
                                            w -> md5(w))) AS fp
             FROM documents
+        """,
+        # decontamination: trigram shingles (same slicing as jaccard_verify),
+        # bench = doc_id % 37 == 0, overlap join recomputed wholesale
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) >= 3
+                            THEN list_distinct(list_transform(
+                                     range(1, len(tk)-1),
+                                     i -> array_to_string(tk[i:i+2], ' ')))
+                            ELSE [array_to_string(tk, ' ')] END AS s
+                FROM toks
+            ),
+            bench AS (
+                SELECT DISTINCT u.x AS g
+                FROM sh, unnest(s) AS u(x) WHERE doc_id % 37 = 0
+            ),
+            train AS (SELECT * FROM sh WHERE doc_id % 37 <> 0),
+            hits AS (
+                SELECT e.doc_id, count(*) AS n_hit FROM (
+                    SELECT t.doc_id, u.x FROM train t, unnest(t.s) AS u(x)
+                ) e JOIN bench b ON b.g = e.x
+                GROUP BY e.doc_id
+            )
+            SELECT t.doc_id, CAST(len(t.s) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+            FROM train t LEFT JOIN hits h USING (doc_id)
         """,
         "corpus_select": """
             WITH RECURSIVE toks AS (

@@ -1,0 +1,89 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation/benchmark set.
+
+This is the standard n-gram-overlap protocol published for large-LM
+training corpora (GPT-3 appendix C / PaLM appendix: a training document
+is contaminated if any length-n word sequence also occurs in a benchmark
+example). It is a training-data-pipeline operator, not a reference-jitsu
+one — included because a 100 TB ingest feeding LLM training needs it
+next to dedup/quality/packing.
+
+Scale shape (the part that matters at 100 TB):
+- the BENCHMARK side is small by definition (eval sets are thousands of
+  documents), so its distinct shingle set is broadcast — the corpus scan
+  never shuffles to discover hits;
+- corpus shingles explode only into the broadcast-hash-join probe, and
+  the per-doc hit count is a partial-combine aggregate of the (rare)
+  matching rows — shuffle volume is O(contaminated shingles), not
+  O(corpus shingles);
+- the final left join attaches hit counts back to one row per doc; the
+  hit-count side is `<=` #contaminated docs and is broadcast below the
+  configured threshold (the common case), else a plain shuffle join.
+
+Shingles are joined on ``xxhash64`` of the shingle string by default
+(8-byte keys instead of n-word strings in the broadcast + probe); set
+``hash_shingles=False`` to join raw strings. Tokenization and shingling
+reuse :func:`jitsu_spark.dedup.minhash._shingles` so every text operator
+in the repo agrees on what an n-gram is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jitsu_spark.dedup.minhash import _shingles
+
+BROADCAST_HITS_MAX = 200_000
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bench_text_col: str | None = None,
+    hash_shingles: bool = True,
+    broadcast_hits: bool | None = None,
+) -> DataFrame:
+    """Per training doc: total distinct n-gram shingles and how many also
+    occur anywhere in ``bench``. Returns (id_col, n_shingles, n_hit);
+    ``n_hit >= 1`` is the usual contamination flag, left to the caller so
+    thresholded variants (>= k hits) need no recompute."""
+    bench_text_col = bench_text_col or text_col
+
+    def key(col):
+        return F.xxhash64(col) if hash_shingles else col
+
+    sh = docs.select(
+        F.col(id_col), _shingles(F.col(text_col), n).alias("_sh")
+    )
+    bench_keys = (
+        bench.select(F.explode(_shingles(F.col(bench_text_col), n)).alias("_s"))
+        .select(key(F.col("_s")).alias("_bk"))
+        .distinct()
+    )
+    probe = sh.select(F.col(id_col), F.explode("_sh").alias("_s")).select(
+        F.col(id_col), key(F.col("_s")).alias("_dk")
+    )
+    hits = (
+        probe.join(F.broadcast(bench_keys), probe["_dk"] == bench_keys["_bk"])
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))  # shingles are distinct per doc
+    )
+    if broadcast_hits is None:
+        broadcast_hits = bench_keys.count() <= BROADCAST_HITS_MAX
+    if broadcast_hits:
+        # hit docs <= bench shingle count; small enough to broadcast, so
+        # the corpus-wide left join below stays shuffle-free
+        hits = F.broadcast(hits)
+    return (
+        sh.select(F.col(id_col), F.size("_sh").cast("long").alias("n_shingles"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )

@@ -484,3 +484,33 @@ def test_cc_star_converges_on_pathological_chain(spark):
     # silently under-merging — the star variant is the documented swap
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(pairs, algorithm="jump", max_iter=2)
+
+
+def test_ngram_contamination_exact_and_hash_equivalence(spark):
+    """Hand-built corpus with known trigram overlaps; hashed-key and
+    raw-string joins must agree; the bench probe must be a broadcast
+    join (the corpus side never shuffles to find hits)."""
+    from jitsu_spark.text.decontam import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    # bench trigrams: {the quick brown, quick brown fox, brown fox jumps}
+    train = spark.createDataFrame(
+        [
+            (1, "a the quick brown fox ran"),  # hits: 2 (the quick brown, quick brown fox)
+            (2, "totally unrelated words here"),  # hits: 0
+            (3, "brown fox jumps brown fox jumps x"),  # 4 DISTINCT shingles; 1 bench hit
+            (4, "hi"),  # short doc -> whole-doc shingle, 0 hits
+        ],
+        ["doc_id", "text"],
+    )
+    out = ngram_contamination(train, bench, n=3)
+    got = {r["doc_id"]: (r["n_shingles"], r["n_hit"]) for r in out.collect()}
+    assert got == {1: (4, 2), 2: (2, 0), 3: (4, 1), 4: (1, 0)}
+
+    raw = ngram_contamination(train, bench, n=3, hash_shingles=False)
+    assert {tuple(r) for r in raw.collect()} == {tuple(r) for r in out.collect()}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
