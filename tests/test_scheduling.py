@@ -1,0 +1,145 @@
+"""ST9: cron-timed, deduplicated, prioritized sync scheduling.
+
+Reference parity targets: server/scheduling/cron.go (5-field specs +
+descriptors, double-schedule error), server/synchronization/
+task_service.go (queue dedup vs queued/running, priority value
+priority*10^12 - created_at, retry <= 2 with linear-minute backoff)."""
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from jitsu_spark.scheduling import CronSpec, Priority, SyncScheduler
+
+T0 = datetime(2024, 3, 14, 10, 7, 23)
+
+
+def fires(spec, start, n):
+    s, t, out = CronSpec.parse(spec), start, []
+    for _ in range(n):
+        t = s.next_fire(t)
+        out.append(t)
+    return out
+
+
+def test_cron_next_fire_shapes():
+    assert fires("*/15 * * * *", T0, 3) == [
+        datetime(2024, 3, 14, 10, 15),
+        datetime(2024, 3, 14, 10, 30),
+        datetime(2024, 3, 14, 10, 45),
+    ]
+    assert fires("0 3 * * *", T0, 2) == [
+        datetime(2024, 3, 15, 3, 0),
+        datetime(2024, 3, 16, 3, 0),
+    ]
+    assert fires("30 2 1 * *", T0, 2) == [
+        datetime(2024, 4, 1, 2, 30),
+        datetime(2024, 5, 1, 2, 30),
+    ]
+    # vixie "N/step": start at 5, every 10 minutes
+    assert fires("5/10 * * * *", T0, 2) == [
+        datetime(2024, 3, 14, 10, 15),
+        datetime(2024, 3, 14, 10, 25),
+    ]
+    # lists + ranges; a plain value in a list must NOT inherit a step
+    assert fires("1,40-42 10 * * *", T0, 3) == [
+        datetime(2024, 3, 14, 10, 40),
+        datetime(2024, 3, 14, 10, 41),
+        datetime(2024, 3, 14, 10, 42),
+    ]
+    assert fires("@daily", T0, 1) == [datetime(2024, 3, 15, 0, 0)]
+    assert fires("@every 90m", T0, 2) == [
+        T0 + timedelta(minutes=90),
+        T0 + timedelta(minutes=180),
+    ]
+
+
+def test_cron_dom_dow_or_rule():
+    # both dom and dow restricted: fires on the 13th OR on Fridays
+    got = fires("0 0 13 3 5", datetime(2024, 3, 1), 4)
+    assert got == [
+        datetime(2024, 3, 8),   # Friday
+        datetime(2024, 3, 13),  # the 13th (a Wednesday)
+        datetime(2024, 3, 15),  # Friday
+        datetime(2024, 3, 22),  # Friday
+    ]
+    # dow-only: Sunday == 0
+    assert fires("0 0 * * 0", T0, 1) == [datetime(2024, 3, 17)]
+
+
+def test_cron_rejects_bad_specs():
+    for bad in ("* * * *", "61 * * * *", "* 24 * * *", "*/0 * * * *",
+                "@every 0m", "a * * * *"):
+        with pytest.raises((ValueError, KeyError)):
+            CronSpec.parse(bad)
+
+
+def test_schedule_dedup_priority_and_removal():
+    ran = []
+    sch = SyncScheduler(start=T0)
+    sch.schedule("ga", "report", "*/10 * * * *",
+                 lambda s, c, r: ran.append((s, c, r)))
+    sch.schedule("fb", "insights", "*/10 * * * *",
+                 lambda s, c, r: ran.append((s, c, r)))
+    with pytest.raises(ValueError, match="already scheduled"):
+        sch.schedule("ga", "report", "* * * * *", lambda s, c, r: None)
+
+    # three missed fires collapse into ONE queued task per pair (dedup)
+    now = T0 + timedelta(minutes=35)
+    sch.tick(now, max_tasks=0)
+    assert len(sch.queued()) == 2
+
+    # manual NOW beats scheduled HIGH; within a priority, older first.
+    # fb/insights was scheduled second but its fire time ties ga's; ga
+    # enqueued first and (tie on created_at) max() keeps the first max.
+    assert sch.sync_now("ga", "report", now) is False  # already queued
+    sch.remove("fb", "insights")
+    executed = sch.tick(now)
+    # fb's queued task is skipped (entry removed after enqueue)
+    assert executed >= 1 and ran == [("ga", "report", 0)]
+
+    # nothing due until the next boundary
+    assert sch.tick(now) == 0
+    sch.tick(T0 + timedelta(minutes=45))
+    assert ran[-1] == ("ga", "report", 0) and len(ran) == 2
+
+
+def test_retry_backoff_and_cap():
+    calls = []
+
+    def flaky(s, c, r):
+        calls.append(r)
+        if len(calls) <= 2:
+            raise RuntimeError("transient")
+
+    sch = SyncScheduler(start=T0)
+    sch.schedule("src", "col", "@every 1h", flaky)
+    t1 = T0 + timedelta(hours=1)
+    sch.tick(t1)
+    assert calls == [0]  # failed; retry queued with 1-minute backoff
+    sch.tick(t1)
+    assert calls == [0]  # not_before gates the retry at the same instant
+    sch.tick(t1 + timedelta(minutes=1))
+    assert calls == [0, 1]  # failed again; second retry, 2-minute backoff
+    sch.tick(t1 + timedelta(minutes=3))
+    assert calls == [0, 1, 2] and sch.history[-1][3] == 2  # succeeded
+
+    # permanent failure: retries stop after MAX_RETRIES extra attempts
+    calls.clear()
+    always = SyncScheduler(start=T0)
+
+    def dead(s, c, r):
+        calls.append(r)
+        raise RuntimeError("permanent")
+
+    always.schedule("src", "col", "@every 1h", dead)
+    for m in (0, 1, 3, 10, 30):
+        always.tick(t1 + timedelta(minutes=m))
+    assert calls == [0, 1, 2] and always.history == []
+
+
+def test_priority_value_ordering():
+    older, newer = T0, T0 + timedelta(minutes=5)
+    assert Priority.NOW.value_at(newer) > Priority.HIGH.value_at(older)
+    assert Priority.HIGH.value_at(older) > Priority.HIGH.value_at(newer)
+    assert Priority.HIGH.value_at(newer) > Priority.LOW.value_at(older)
