@@ -143,3 +143,62 @@ def test_priority_value_ordering():
     assert Priority.NOW.value_at(newer) > Priority.HIGH.value_at(older)
     assert Priority.HIGH.value_at(older) > Priority.HIGH.value_at(newer)
     assert Priority.HIGH.value_at(newer) > Priority.LOW.value_at(older)
+
+
+def test_scheduler_drives_real_interval_sync(spark, tmpdir_path):
+    """End-to-end composition: a cron entry fires, the task runs a REAL
+    IntervalSyncJob into a lake table; the second fire is signature-gated
+    (skips all intervals) and the scheduler's dedup never double-runs a
+    sync that is already queued."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.sources.interval_sync import (
+        IntervalDriver,
+        IntervalSyncJob,
+        TimeInterval,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("rid", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+
+    class OneMonthAPI(IntervalDriver):
+        def available_intervals(self):
+            return [
+                TimeInterval("2024-01", "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+            ]
+
+        def signature(self, itv):
+            return "sig-0"
+
+        def read_interval(self, spark_, itv):
+            rows = [(f"r{i}", "2024-01-15 00:00:00", 1.0) for i in range(3)]
+            return spark_.createDataFrame(rows, ["rid", "ts_s", "amount"]).select(
+                "rid", F.col("ts_s").cast("timestamp").alias("ts"), "amount"
+            )
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), schema, "rid", n_buckets=4
+    )
+    job = IntervalSyncJob(
+        t, OneMonthAPI(), "ts", os.path.join(tmpdir_path, "state.json")
+    )
+    reports = []
+    sch = SyncScheduler(start=T0)
+    sch.schedule(
+        "api", "sales", "@every 1h",
+        lambda s, c, r: reports.append(job.run_once(spark)),
+    )
+    sch.tick(T0 + timedelta(hours=1))
+    assert reports[0].synced == ["2024-01"] and t.read().count() == 3
+    sch.tick(T0 + timedelta(hours=2))
+    assert reports[1].synced == [] and reports[1].skipped == ["2024-01"]
+    assert t.read().count() == 3
