@@ -340,6 +340,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling (data mixing): src0
+    down-sampled to 0.4, src1 up-sampled to 2.5 expected copies, src2
+    dropped (w=0), everything else kept at 1.0 — md5-derived uniforms,
+    so the oracle replays the mixture bit-for-bit including copy_no."""
+    from jitsu_spark.text.mixing import sample_mixture
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_mixture(
+        d, {"src0": 0.4, "src1": 2.5, "src2": 0.0}, seed=7
+    ).select("doc_id", "source", F.col("copy_no").cast("int").alias("copy_no"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-sequence packing: md5-derived tokens from documents packed
     into 128-token training sequences; per-pack position-weighted
@@ -1421,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "corpus_select": q_corpus_select,
         "decontaminate": q_decontaminate,
+        "domain_mixture": q_domain_mixture,
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1705,6 +1719,30 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(string_split(text, ' '),
                                            w -> md5(w))) AS fp
             FROM documents
+        """,
+        # data mixing: md5-uniform u, per-domain weight, floor(w)+Bernoulli
+        # copies — every arithmetic step forced to DOUBLE on both sides
+        "domain_mixture": """
+            WITH w AS (
+                SELECT doc_id, source,
+                       CAST(CASE source WHEN 'src0' THEN 0.4
+                                        WHEN 'src1' THEN 2.5
+                                        WHEN 'src2' THEN 0.0
+                                        ELSE 1.0 END AS DOUBLE) AS wt,
+                       (('0x' || substr(md5('7#' || CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT
+                            / CAST(4294967296 AS DOUBLE)) AS u
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source,
+                       CAST(floor(wt) + CASE WHEN u < wt - floor(wt)
+                                             THEN 1 ELSE 0 END AS INT) AS n
+                FROM w
+            )
+            SELECT doc_id, source, CAST(g.x AS INT) AS copy_no
+            FROM c, unnest(range(CAST(n AS BIGINT))) AS g(x)
+            WHERE n > 0
         """,
         # decontamination: trigram shingles (same slicing as jaccard_verify),
         # bench = doc_id % 37 == 0, overlap join recomputed wholesale

@@ -254,6 +254,7 @@ def main() -> None:
         "token_counts": entry.q_token_counts,
         "pack_sequences": entry.q_pack_sequences,
         "minhash_lsh_candidates": entry.q_lsh_candidates,
+        "decontaminate": entry.q_decontaminate,
         "simhash": entry.q_simhash,
         "embedding_topk": entry.q_embedding_topk,
         "ann_lsh_topk": entry.q_ann_lsh_topk,
@@ -358,6 +359,7 @@ def main() -> None:
                 "pack_sequences_10x": entry.q_pack_sequences,
                 "minhash_signature_10x": entry.q_minhash_signature,
                 "lsh_candidates_10x": entry.q_lsh_candidates,
+                "decontaminate_10x": entry.q_decontaminate,
                 # ANN family
                 "embedding_topk_10x": entry.q_embedding_topk,
                 "ann_lsh_topk_10x": entry.q_ann_lsh_topk,
