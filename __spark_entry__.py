@@ -353,6 +353,70 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", F.col("copy_no").cast("int").alias("copy_no"))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: the corpus text is deterministically augmented with
+    synthetic PII (email from doc_id, dotted IP + dashed phone from
+    doc_id/n_chars arithmetic, a card-like digit run on every 3rd doc) so
+    the regex families actually fire, then scrubbed; per-family counts +
+    redacted text are the gate surface."""
+    from jitsu_spark.text.pii import scrub_pii
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from "),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("n_chars") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit("."),
+            ((F.col("n_chars") * 3) % 256).cast("string"),
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("n_chars") % 10000).cast("string"), 4, "0"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" card 4111111111111111")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_pii(aug).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "n_card", "pii_total", "clean_text"
+    )
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features per document (word + bigram
+    multiplicity fractions)."""
+    from jitsu_spark.text.repetition import repetition_signals
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(d)
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage dedup: 10-word windows, global
+    first-occurrence-wins, documents reassembled from surviving passages."""
+    from jitsu_spark.text.passages import dedup_passages
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_passages(d, window=10)
+
+
+def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus head selection: top 100 documents by the deterministic
+    quality order (TakeOrderedAndProject — no global sort)."""
+    from jitsu_spark.text.corpus import select_top_k
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return select_top_k(d, 100)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-sequence packing: md5-derived tokens from documents packed
     into 128-token training sequences; per-pack position-weighted
@@ -1435,6 +1499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_select": q_corpus_select,
         "decontaminate": q_decontaminate,
         "domain_mixture": q_domain_mixture,
+        "pii_scrub": q_pii_scrub,
+        "repetition_signals": q_repetition_signals,
+        "passage_dedup": q_passage_dedup,
+        "quality_topk": q_quality_topk,
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1532,6 +1600,54 @@ def _ua_oracle_sql() -> str:
                     ELSE '' END AS ua_device_model,
                regexp_matches(user_agent, '{_BOT_PATTERN}') AS ua_bot
         FROM ev
+    """
+
+
+def _pii_oracle_sql() -> str:
+    """PII-scrub oracle generated from the operator's own ordered rule
+    list (jitsu_spark/text/pii.py PII_RULES), so the Spark scrub and the
+    SQL twin can never drift: each stage counts on the text state the
+    previous stage produced, exactly like the fold in scrub_pii. DuckDB
+    standard strings keep backslashes literal, so the RE2 patterns embed
+    as-is (they use only the Java∩RE2 subset by construction)."""
+    from jitsu_spark.text.pii import PII_RULES
+
+    aug = """
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from '
+                    || CAST(doc_id % 256 AS VARCHAR) || '.'
+                    || CAST(n_chars % 256 AS VARCHAR) || '.'
+                    || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+                    || CAST((n_chars * 3) % 256 AS VARCHAR)
+                    || ' call 555-'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    || '-'
+                    || lpad(CAST(n_chars % 10000 AS VARCHAR), 4, '0')
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' card 4111111111111111' ELSE '' END AS t0
+        FROM documents
+    """
+    stages = [f"s0 AS ({aug})"]
+    carried: list[str] = []
+    for i, (name, pat, repl) in enumerate(PII_RULES):
+        stages.append(
+            f"""s{i + 1} AS (
+                SELECT doc_id, {', '.join(carried) + ',' if carried else ''}
+                       CAST(len(regexp_extract_all(t{i}, '{pat}')) AS BIGINT)
+                           AS n_{name},
+                       regexp_replace(t{i}, '{pat}', '{repl}', 'g') AS t{i + 1}
+                FROM s{i})"""
+        )
+        carried.append(f"n_{name}")
+    total = " + ".join(carried)
+    n = len(PII_RULES)
+    return f"""
+        WITH {', '.join(stages)}
+        SELECT doc_id, {', '.join(carried)},
+               CAST({total} AS BIGINT) AS pii_total,
+               t{n} AS clean_text
+        FROM s{n}
     """
 
 
@@ -1722,6 +1838,88 @@ def oracle_sql() -> dict[str, str]:
         """,
         # data mixing: md5-uniform u, per-domain weight, floor(w)+Bernoulli
         # copies — every arithmetic step forced to DOUBLE on both sides
+        "pii_scrub": _pii_oracle_sql(),
+        # Gopher repetition signals: one tagged token stream per word and
+        # bigram in Spark; the oracle recomputes both families separately
+        # (unnest words; bigrams via a lateral range over positions)
+        "repetition_signals": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            wcnt AS (
+                SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+                GROUP BY doc_id, tok
+            ),
+            wagg AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_words,
+                       CAST(count(*) AS BIGINT) AS n_distinct_words,
+                       CAST(max(c) AS BIGINT) AS topw
+                FROM wcnt GROUP BY doc_id
+            ),
+            bcnt AS (
+                SELECT doc_id, tok, count(*) AS c
+                FROM (
+                    SELECT doc_id, w[g + 1] || ' ' || w[g + 2] AS tok
+                    FROM t, unnest(range(len(w) - 1)) AS i(g)
+                )
+                GROUP BY doc_id, tok
+            ),
+            bagg AS (
+                SELECT doc_id, CAST(max(c) AS BIGINT) AS topb
+                FROM bcnt GROUP BY doc_id
+            )
+            SELECT w.doc_id, n_words, n_distinct_words,
+                   round(1.0 - n_distinct_words / CAST(n_words AS DOUBLE), 6)
+                       AS dup_word_frac,
+                   round(topw / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+                   CASE WHEN n_words > 1
+                        THEN round(coalesce(topb, 0)
+                                   / (CAST(n_words AS DOUBLE) - 1), 6)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM wagg w LEFT JOIN bagg b USING (doc_id)
+        """,
+        # passage dedup: 10-word non-overlapping windows, global
+        # first-occurrence (doc_id, pos) wins, docs rebuilt in pos order
+        "passage_dedup": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            p AS (
+                SELECT doc_id, g AS pos,
+                       array_to_string(w[(g * 10 + 1):(g * 10 + 10)], ' ')
+                           AS passage
+                FROM t,
+                     unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT)))
+                         AS i(g)
+            ),
+            r AS (
+                SELECT doc_id, pos, passage,
+                       row_number() OVER (
+                           PARTITION BY passage ORDER BY doc_id, pos
+                       ) AS rn
+                FROM p
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_passages,
+                   CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN passage END,
+                                       ' ' ORDER BY pos), '') AS clean_text
+            FROM r GROUP BY doc_id
+        """,
+        # corpus head: deterministic total order, fixed-size top-k
+        "quality_topk": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   CAST(floor(100 * length(regexp_replace(text, '[^a-zA-Z]',
+                                                          '', 'g'))
+                        / len(string_split(text, ' '))) AS BIGINT)
+                       AS mean_word_len_x100
+            FROM documents
+            ORDER BY mean_word_len_x100 DESC, n_words DESC, doc_id ASC
+            LIMIT 100
+        """,
         "domain_mixture": """
             WITH w AS (
                 SELECT doc_id, source,

@@ -77,3 +77,31 @@ def select_training_corpus(
             & F.col("is_near_keeper")
         ).alias("selected"),
     )
+
+
+def select_top_k(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus head selection: the k documents with the highest quality
+    rank, ordered by (mean word length x100 desc, n_words desc, id asc)
+    — a deterministic total order (id breaks all ties).
+
+    Scale shape: ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject — each partition keeps only its local top-k
+    and the driver merges k-sized heaps, so NO global sort and no single
+    fat partition; this is the scale-correct way to take a fixed-size
+    head of a 100 TB corpus (contrast a global row_number window, which
+    would serialize into one partition)."""
+    from jitsu_spark.text.analysis import quality_features
+
+    feats = quality_features(
+        docs.select(id_col, text_col), text_col=text_col
+    ).select(id_col, "n_words", "mean_word_len_x100")
+    return feats.orderBy(
+        F.col("mean_word_len_x100").desc(),
+        F.col("n_words").desc(),
+        F.col(id_col).asc(),
+    ).limit(k)
