@@ -417,6 +417,37 @@ def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_top_k(d, 100)
 
 
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-vocab build (V=256, count-desc/token-asc ids) + corpus
+    encoding: per doc the token count, OOV count, and the first 32 ids as
+    a CSV string (ARRAY results are gate-unsafe — the r1/r2 lesson)."""
+    from jitsu_spark.text.vocab import build_vocab, encode_documents
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = build_vocab(d, 256)
+    enc = encode_documents(d, vocab)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.array_join(
+            F.transform(
+                F.slice(F.col("token_ids"), 1, 32),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("ids_csv"),
+    )
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split (md5 uniform, seed 11)."""
+    from jitsu_spark.text.split import split_corpus
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return split_corpus(d, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=11)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-sequence packing: md5-derived tokens from documents packed
     into 128-token training sequences; per-pack position-weighted
@@ -1503,6 +1534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "passage_dedup": q_passage_dedup,
         "quality_topk": q_quality_topk,
+        "vocab_encode": q_vocab_encode,
+        "corpus_split": q_corpus_split,
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1907,6 +1940,52 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN rn = 1 THEN passage END,
                                        ' ' ORDER BY pos), '') AS clean_text
             FROM r GROUP BY doc_id
+        """,
+        # vocab build + encode: top-256 tokens by (count desc, token asc),
+        # dense ids, OOV -> -1, first-32-id CSV per doc
+        "vocab_encode": """
+            WITH toks AS (
+                SELECT doc_id, g AS pos, w[g + 1] AS token
+                FROM (
+                    SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents
+                ) t, unnest(range(len(w))) AS i(g)
+            ),
+            cnt AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS n
+                FROM toks GROUP BY token
+            ),
+            vocab AS (
+                SELECT token,
+                       CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1
+                            AS BIGINT) AS token_id
+                FROM cnt ORDER BY n DESC, token ASC LIMIT 256
+            ),
+            enc AS (
+                SELECT t.doc_id, t.pos, coalesce(v.token_id, -1) AS tid
+                FROM toks t LEFT JOIN vocab v USING (token)
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(*) FILTER (WHERE tid = -1) AS BIGINT) AS n_oov,
+                   string_agg(CASE WHEN pos < 32 THEN CAST(tid AS VARCHAR) END,
+                              ',' ORDER BY pos) AS ids_csv
+            FROM enc GROUP BY doc_id
+        """,
+        # 90/5/5 split; the 0.95 cutoff is spelled as the exact binary
+        # double Python's 0.9 + 0.05 accumulation produces
+        "corpus_split": """
+            SELECT doc_id, source,
+                   CASE WHEN u < 0.9 THEN 'train'
+                        WHEN u < 0.9500000000000001 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id, source,
+                       (('0x' || substr(md5('11#' || CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT
+                            / CAST(4294967296 AS DOUBLE)) AS u
+                FROM documents
+            )
         """,
         # corpus head: deterministic total order, fixed-size top-k
         "quality_topk": """

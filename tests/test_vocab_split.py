@@ -1,0 +1,77 @@
+"""Vocab build/encode + corpus split (jitsu_spark/text/{vocab,split}.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from jitsu_spark.text.split import split_corpus
+from jitsu_spark.text.vocab import OOV_ID, build_vocab, encode_documents
+
+
+def test_vocab_order_and_ids(spark):
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a b d")], "doc_id int, text string"
+    )
+    v = {r["token"]: r for r in build_vocab(df, 3).collect()}
+    # counts: b=4, a=3, c=1, d=1 -> top3 = b(0), a(1), c(2) (tie c<d)
+    assert set(v) == {"b", "a", "c"}
+    assert v["b"]["token_id"] == 0 and v["b"]["n_occurrences"] == 4
+    assert v["a"]["token_id"] == 1
+    assert v["c"]["token_id"] == 2
+
+
+def test_encode_preserves_order_and_counts_oov(spark):
+    df = spark.createDataFrame(
+        [(1, "b a zz b"), (2, "zz yy")], "doc_id int, text string"
+    )
+    vocab = build_vocab(df, 2)  # b(0) count2, then tie a/yy/zz... count1
+    enc = {r["doc_id"]: r for r in encode_documents(df, vocab).collect()}
+    v = {r["token"]: r["token_id"] for r in vocab.collect()}
+    assert v["b"] == 0
+    other = next(t for t in v if t != "b")
+    e1 = enc[1]
+    assert e1["n_tokens"] == 4
+    expect = [v.get("b"), v.get("a", OOV_ID), v.get("zz", OOV_ID), v.get("b")]
+    assert list(e1["token_ids"]) == expect
+    assert e1["n_oov"] == sum(1 for x in expect if x == OOV_ID)
+    assert enc[2]["n_tokens"] == 2
+    # ids are dense 0..V-1
+    assert sorted(v.values()) == [0, 1]
+    assert other in ("a", "yy", "zz")
+
+
+def test_encode_deterministic_across_partitioning(spark):
+    rows = [(i, f"t{i % 7} t{i % 3} t{i % 7}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = build_vocab(df, 5)
+    a = encode_documents(df.repartition(1), vocab).select(
+        "doc_id", F.col("token_ids").cast("string").alias("s")
+    )
+    b = encode_documents(df.repartition(8, "doc_id"), vocab).select(
+        "doc_id", F.col("token_ids").cast("string").alias("s")
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_split_partitions_and_fractions(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    out = split_corpus(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3)
+    by = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(by) == {"train", "val", "test"}
+    assert sum(by.values()) == 2000  # exactly one split per doc
+    assert 1500 <= by["train"] <= 1700
+    assert 120 <= by["val"] <= 280 and 120 <= by["test"] <= 280
+    # deterministic: same seed same assignment
+    again = split_corpus(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3)
+    assert out.exceptAll(again).count() == 0
+
+
+def test_split_rejects_bad_fractions(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        split_corpus(df, {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        split_corpus(df, {"a": 1.5, "b": -0.5})
