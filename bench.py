@@ -255,6 +255,9 @@ def main() -> None:
         "pack_sequences": entry.q_pack_sequences,
         "minhash_lsh_candidates": entry.q_lsh_candidates,
         "decontaminate": entry.q_decontaminate,
+        "repetition_signals": entry.q_repetition_signals,
+        "passage_dedup": entry.q_passage_dedup,
+        "vocab_encode": entry.q_vocab_encode,
         "simhash": entry.q_simhash,
         "embedding_topk": entry.q_embedding_topk,
         "ann_lsh_topk": entry.q_ann_lsh_topk,
@@ -360,6 +363,8 @@ def main() -> None:
                 "minhash_signature_10x": entry.q_minhash_signature,
                 "lsh_candidates_10x": entry.q_lsh_candidates,
                 "decontaminate_10x": entry.q_decontaminate,
+                "passage_dedup_10x": entry.q_passage_dedup,
+                "vocab_encode_10x": entry.q_vocab_encode,
                 # ANN family
                 "embedding_topk_10x": entry.q_embedding_topk,
                 "ann_lsh_topk_10x": entry.q_ann_lsh_topk,

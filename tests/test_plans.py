@@ -258,3 +258,62 @@ def test_rebucket_rewrite_plan_has_no_shuffle(spark, tmpdir_path):
     )
     plan = plan_of(df).split("\n\n")[0]
     assert "Exchange" not in plan, plan
+
+
+def test_repetition_signals_two_exchanges_partial_agg(spark):
+    """The repetition pipeline is exactly two shuffles — (doc, token)
+    counts then per-doc re-aggregate — and the first aggregate must
+    partial-combine map-side (hot tokens collapse before the exchange)."""
+    from jitsu_spark.text.repetition import repetition_signals
+
+    df = spark.createDataFrame(
+        [(i, "a b c a b a") for i in range(10)], "doc_id long, text string"
+    )
+    import re
+
+    plan = plan_of(repetition_signals(df))
+    # formatted plans list each node once in the tree and once in the
+    # detail section — count the detail headers
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+    assert "partial_count" in plan  # map-side combine before shuffle 1
+
+
+def test_vocab_encode_broadcasts_vocab(spark):
+    """Encoding joins the exploded token stream against the V-row vocab:
+    must be a broadcast hash join (V is bounded), never sort-merge."""
+    from jitsu_spark.text.vocab import build_vocab, encode_documents
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(10)], "doc_id long, text string"
+    )
+    vocab = build_vocab(df, 4)
+    plan = plan_of(encode_documents(df, vocab))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_scrub_is_shuffle_free_codegen(spark):
+    """The scrub is a narrow projection: zero exchanges, whole regex fold
+    inside one WholeStageCodegen span, no Python in the data path."""
+    from jitsu_spark.text.pii import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "a@b.co 1.2.3.4")], "doc_id long, text string"
+    )
+    plan = plan_of(scrub_pii(df))
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # whole-stage codegen spans the fold
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_topk_take_ordered_not_global_sort(spark):
+    """Corpus head selection compiles to TakeOrderedAndProject — a
+    global Sort here would serialize the corpus into one partition."""
+    from jitsu_spark.text.corpus import select_top_k
+
+    df = spark.createDataFrame(
+        [(i, "aa bb cc") for i in range(50)], "doc_id long, text string"
+    )
+    plan = plan_of(select_top_k(df, 5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
