@@ -8,21 +8,25 @@ reassembled from its surviving passages in order. This is the standard
 passage/paragraph-level dedup stage that exact-document dedup misses.
 
 Scale shape: one explode to (doc, pos, passage); the first-occurrence
-rule is a window over ``passage`` (shuffle keyed by passage text — group
-size == duplication multiplicity, so skew is bounded by how duplicated a
-passage actually is); reassembly is a groupBy(doc) with an array_sort of
+rule is a ``min(struct(doc_id, pos))`` AGGREGATE per passage — partial-
+combinable, so a pathologically duplicated passage (boilerplate shared
+by 10^7 documents) collapses map-side instead of flooding one reducer
+the way a row_number window over ``passage`` would. The keep-flag join
+back is keyed on the full (passage, doc_id, pos) triple, so even the hot
+passage's occurrences spread across reducers (only its single winner row
+has one fixed key). Reassembly is a groupBy(doc) with an array_sort of
 collected (pos, passage) structs — per-doc state only. No driver-side
-loops, nothing quadratic. At 100 TB the window key would be a passage
-HASH (md5) with the text carried alongside; here the text itself is the
-key so the DuckDB oracle matches trivially — swapping in the hash key is
-a one-line change that does not alter semantics (md5 collisions aside).
+loops, nothing quadratic, no window. At 100 TB the shuffle key would be
+a passage HASH (md5) with the text carried alongside; here the text
+itself is the key so the DuckDB oracle matches trivially — swapping in
+the hash key is a one-line change that does not alter semantics (md5
+collisions aside).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def explode_passages(
@@ -60,10 +64,22 @@ def dedup_passages(
     ``n_kept`` and the reassembled ``clean_text`` (empty string when every
     passage was seen earlier elsewhere)."""
     p = explode_passages(df, id_col, text_col, window)
-    first = F.row_number().over(
-        Window.partitionBy("passage").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    # global first occurrence per passage: a partial-combinable min over
+    # (doc_id, pos) structs — the skew defense (vs a window's single-
+    # reducer hot group)
+    winners = p.groupBy("passage").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w")
+    ).select(
+        "passage",
+        F.col(f"_w.{id_col}").alias(id_col),
+        F.col("_w.pos").alias("pos"),
+        F.lit(True).alias("_keep"),
     )
-    marked = p.withColumn("_keep", first == 1)
+    # triple-key join: hot-passage occurrences carry distinct (doc, pos)
+    # keys, so no reducer hotspot
+    marked = p.join(
+        winners, on=["passage", id_col, "pos"], how="left"
+    ).withColumn("_keep", F.coalesce(F.col("_keep"), F.lit(False)))
     return marked.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_passages"),
         F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),

@@ -317,3 +317,17 @@ def test_quality_topk_take_ordered_not_global_sort(spark):
     plan = plan_of(select_top_k(df, 5))
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_passage_dedup_no_window_partial_min(spark):
+    """First-occurrence selection must be the partial-combinable
+    min(struct) aggregate, never a row_number window (a boilerplate
+    passage shared by 10^7 docs would serialize into one reducer)."""
+    from jitsu_spark.text.passages import dedup_passages
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l")], "doc_id long, text string"
+    )
+    plan = plan_of(dedup_passages(df, window=10))
+    assert "Window" not in plan
+    assert "partial_min" in plan
