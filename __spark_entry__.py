@@ -448,6 +448,15 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_corpus(d, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=11)
 
 
+def q_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8-way dataloader sharding: md5-uniform shard
+    assignment + an independent md5 draw ordering each shard."""
+    from jitsu_spark.text.shard import shard_corpus
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    return shard_corpus(d, 8, seed=5)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-sequence packing: md5-derived tokens from documents packed
     into 128-token training sequences; per-pack position-weighted
@@ -1536,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topk": q_quality_topk,
         "vocab_encode": q_vocab_encode,
         "corpus_split": q_corpus_split,
+        "shard_corpus": q_shard_corpus,
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1986,6 +1996,25 @@ def oracle_sql() -> dict[str, str]:
                             / CAST(4294967296 AS DOUBLE)) AS u
                 FROM documents
             )
+        """,
+        # dataloader sharding: md5-uniform shard, independent md5 order
+        # (seed 5; order stream = seed + 1000003)
+        "shard_corpus": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(floor(
+                           (('0x' || substr(md5('5#' || CAST(doc_id AS VARCHAR)),
+                                            1, 8))::BIGINT
+                                / CAST(4294967296 AS DOUBLE)) * 8
+                       ) AS INT) AS shard,
+                       md5('1000008#' || CAST(doc_id AS VARCHAR)) AS oh
+                FROM documents
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY shard ORDER BY oh, doc_id
+                   ) - 1 AS BIGINT) AS pos_in_shard
+            FROM t
         """,
         # corpus head: deterministic total order, fixed-size top-k
         "quality_topk": """

@@ -75,3 +75,33 @@ def test_split_rejects_bad_fractions(spark):
         split_corpus(df, {"a": 0.5, "b": 0.4})
     with pytest.raises(ValueError):
         split_corpus(df, {"a": 1.5, "b": -0.5})
+
+
+def test_shard_corpus_balanced_and_deterministic(spark):
+    from jitsu_spark.text.shard import shard_corpus
+
+    df = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    out = shard_corpus(df, 8, seed=2).cache()
+    sizes = {r["shard"]: r["n"] for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == set(range(8))
+    assert all(350 <= n <= 650 for n in sizes.values())  # ~500 each
+    # pos_in_shard is dense 0..n-1 per shard
+    dense = out.groupBy("shard").agg(
+        F.max("pos_in_shard").alias("mx"), F.count("*").alias("n"), F.min("pos_in_shard").alias("mn")
+    )
+    assert dense.filter((F.col("mx") != F.col("n") - 1) | (F.col("mn") != 0)).count() == 0
+    # stable across partitioning
+    again = shard_corpus(df.repartition(13), 8, seed=2)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out.select(*again.columns)).count() == 0
+    # different seed -> different layout
+    other = shard_corpus(df, 8, seed=3)
+    assert out.exceptAll(other).count() > 0
+    out.unpersist()
+
+
+def test_shard_corpus_rejects_bad_n(spark):
+    from jitsu_spark.text.shard import shard_corpus
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        shard_corpus(df, 0)
