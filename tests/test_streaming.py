@@ -426,3 +426,69 @@ def test_bootstrap_snapshot_then_tail(spark, tmpdir_path):
     )
     job2.run_available_now(spark)
     assert_matches_oracle(table.read(), expected)
+
+
+def test_stream_with_inline_text_pipeline_gates(spark, tmpdir_path):
+    """The r5 text operators compose into the streaming data path: a
+    document change stream runs PII scrub + a quality gate INSIDE the
+    pre-merge transform (deletes flow through the gate untouched), and
+    the lake table converges to the scrubbed, gated LWW state."""
+    from pyspark.sql import types as T
+
+    from jitsu_spark.text.pii import scrub_pii
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+    ])
+    events = [
+        ("a", "reach me at bob@example.com for the data", 0, "u"),
+        ("b", "plain words only here today", 1, "u"),
+        ("c", "tiny", 2, "u"),                      # fails quality gate
+        ("a", "updated text with 10.1.2.3 inside it", 3, "u"),
+        ("b", None, 4, "d"),                        # delete must pass gate
+    ]
+    src = os.path.join(tmpdir_path, "log")
+    spark.createDataFrame(events[:3], doc_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(events[3:], doc_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    tbl_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("clean_text", T.StringType()),
+        T.StructField("pii_total", T.LongType()),
+        T.StructField("n_words", T.IntegerType()),
+    ])
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), tbl_schema, "doc_id", n_buckets=4
+    )
+
+    def gated_scrub(df):
+        out = scrub_pii(df).withColumn(
+            "n_words", F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        )
+        out = out.filter((F.col("op") == "d") | (F.col("n_words") >= 3))
+        return out.select(
+            "doc_id", "clean_text", "pii_total", "n_words", "seq", "op"
+        )
+
+    job = CdcStreamJob(
+        table=table,
+        source_dir=src,
+        checkpoint_dir=os.path.join(tmpdir_path, "ckpt"),
+        source_schema=doc_schema,
+        max_files_per_trigger=1,
+        job_id="t-textgate",
+        transform=gated_scrub,
+    )
+    job.run_available_now(spark)
+
+    rows = {r["doc_id"]: r for r in table.read().collect()}
+    assert set(rows) == {"a"}  # b deleted, c gated out
+    assert rows["a"]["clean_text"] == "updated text with <IP> inside it"
+    assert rows["a"]["pii_total"] == 1

@@ -97,3 +97,28 @@ def test_select_top_k_deterministic_and_take_ordered(spark):
     assert len(got) == 7
     # all same mean word len -> ordered by n_words desc then doc_id asc
     assert [r["doc_id"] for r in got] == [2, 5, 8, 11, 14, 17, 20]
+
+
+def test_passage_dedup_global_uniqueness_property(spark):
+    """Property (hypothesis-style over a seeded random corpus): after
+    dedup, every distinct passage of the corpus survives EXACTLY once
+    globally, and per-doc counts reconcile."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for d in range(60):
+        n = rng.randint(1, 40)
+        docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup_passages(df, window=5).cache()
+    from jitsu_spark.text.passages import explode_passages
+
+    p = explode_passages(df, window=5)
+    n_distinct = p.select("passage").distinct().count()
+    total_kept = out.agg(F.sum("n_kept")).first()[0]
+    assert total_kept == n_distinct
+    total = out.agg(F.sum("n_passages")).first()[0]
+    assert total == p.count()
+    out.unpersist()
