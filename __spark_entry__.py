@@ -1991,23 +1991,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM (
                 SELECT doc_id, source,
-                       (('0x' || substr(md5('11#' || CAST(doc_id AS VARCHAR)),
+                       (('0x' || substr(md5('split:11#' || CAST(doc_id AS VARCHAR)),
                                         1, 8))::BIGINT
                             / CAST(4294967296 AS DOUBLE)) AS u
                 FROM documents
             )
         """,
         # dataloader sharding: md5-uniform shard, independent md5 order
-        # (seed 5; order stream = seed + 1000003)
+        # (seed 5; order stream salted "shardord:")
         "shard_corpus": """
             WITH t AS (
                 SELECT doc_id,
                        CAST(floor(
-                           (('0x' || substr(md5('5#' || CAST(doc_id AS VARCHAR)),
+                           (('0x' || substr(md5('shard:5#' || CAST(doc_id AS VARCHAR)),
                                             1, 8))::BIGINT
                                 / CAST(4294967296 AS DOUBLE)) * 8
                        ) AS INT) AS shard,
-                       md5('1000008#' || CAST(doc_id AS VARCHAR)) AS oh
+                       md5('shardord:5#' || CAST(doc_id AS VARCHAR)) AS oh
                 FROM documents
             )
             SELECT doc_id, shard,
@@ -2035,7 +2035,7 @@ def oracle_sql() -> dict[str, str]:
                                         WHEN 'src1' THEN 2.5
                                         WHEN 'src2' THEN 0.0
                                         ELSE 1.0 END AS DOUBLE) AS wt,
-                       (('0x' || substr(md5('7#' || CAST(doc_id AS VARCHAR)),
+                       (('0x' || substr(md5('mix:7#' || CAST(doc_id AS VARCHAR)),
                                         1, 8))::BIGINT
                             / CAST(4294967296 AS DOUBLE)) AS u
                 FROM documents

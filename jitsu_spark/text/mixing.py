@@ -29,11 +29,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _uniform(id_col: str, seed: int) -> F.Column:
+def _uniform(id_col: str, seed: int, salt: str = "mix:") -> F.Column:
     """md5-derived u in [0, 1): first 8 hex chars / 16^8. Matches
-    DuckDB's ('0x' || substr(md5(...), 1, 8))::BIGINT / 4294967296.0."""
+    DuckDB's ('0x' || substr(md5(...), 1, 8))::BIGINT / 4294967296.0.
+
+    ``salt`` namespaces the hash stream PER OPERATOR: without it, a
+    mixture at seed s and a split/shard at the same seed would reuse the
+    identical u per doc — sampling decisions 100% correlated (e.g. a
+    w=0.4 down-sampled domain could land entirely in a 0.9 train split's
+    prefix, leaving val/test without that domain)."""
     h = F.conv(
-        F.substring(F.md5(F.concat_ws("#", F.lit(str(seed)), F.col(id_col).cast("string"))), 1, 8),
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#", F.lit(f"{salt}{seed}"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
         16,
         10,
     ).cast("double")
@@ -55,6 +69,10 @@ def sample_mixture(
     for d, w in weights.items():
         if w < 0:
             raise ValueError(f"negative mixture weight for {d!r}: {w}")
+    if "_n_copies" in docs.columns:
+        raise ValueError(
+            "input already has a column named '_n_copies' (engine-internal)"
+        )
     u = _uniform(id_col, seed)
     wcol = F.lit(float(default_weight))
     for d, w in weights.items():

@@ -36,8 +36,10 @@ def explode_passages(
     window: int = 10,
 ) -> DataFrame:
     """(id, pos, passage) — consecutive non-overlapping ``window``-word
-    chunks; the final chunk may be shorter."""
-    w = F.split(F.col(text_col), " ")
+    chunks; the final chunk may be shorter. NULL text is treated as the
+    empty document (one empty passage), so every input id appears in the
+    output — documents must not silently vanish from a per-doc result."""
+    w = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n_chunks = F.ceil(F.size(w) / F.lit(window)).cast("int")
     idx = F.sequence(F.lit(0), n_chunks - 1)
     chunks = F.transform(

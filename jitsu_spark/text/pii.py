@@ -47,7 +47,13 @@ def scrub_pii(
     cur: Column = F.col(text_col)
     counts: list[Column] = []
     for name, pat, repl in rules:
-        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        # NULL text (e.g. a CDC delete envelope flowing through the
+        # scrub) must count 0, not propagate NULL into pii_total
+        counts.append(
+            F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
         cur = F.regexp_replace(cur, pat, repl)
     out = df.select(
         "*",

@@ -37,7 +37,9 @@ def repetition_signals(
     to 6 places — cross-engine-stable because both operands are exact
     int64 counts.
     """
-    w = F.split(F.col(text_col), " ")
+    # NULL text = empty document (one empty token): the doc still gets a
+    # stats row instead of vanishing from the groupBy output
+    w = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     bigrams = F.zip_with(
         F.slice(w, 1, F.size(w) - 1),
         F.slice(w, 2, F.size(w) - 1),

@@ -38,12 +38,14 @@ def shard_corpus(
     ``pos_in_shard`` in the shard's deterministic shuffle order."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    u_shard = _uniform(id_col, seed)
-    # independent draw for the within-shard order (seed offset by a
-    # large odd constant so the two hash streams never coincide)
+    if "_oh" in df.columns:
+        raise ValueError("input already has a column named '_oh' (engine-internal)")
+    u_shard = _uniform(id_col, seed, salt="shard:")
+    # independent salted draw for the within-shard order — a distinct
+    # hash stream from the shard assignment and from mixture/split
     order_h = F.md5(
         F.concat_ws(
-            "#", F.lit(str(seed + 1_000_003)), F.col(id_col).cast("string")
+            "#", F.lit(f"shardord:{seed}"), F.col(id_col).cast("string")
         )
     )
     shard = F.floor(u_shard * n_shards).cast("int")

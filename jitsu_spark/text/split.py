@@ -34,7 +34,7 @@ def split_corpus(
     if any(f < 0 for f in fractions.values()):
         raise ValueError("split fractions must be non-negative")
     names = list(fractions)
-    u = _uniform(id_col, seed)
+    u = _uniform(id_col, seed, salt="split:")  # independent of mixture/shard streams
     # whens nest outside-in: fold in reverse cutoff order so the SMALLEST
     # cumulative cutoff is checked first; the last split absorbs u >= max
     cums: list[tuple[str, float]] = []

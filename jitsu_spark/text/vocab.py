@@ -58,9 +58,12 @@ def encode_documents(
 ) -> DataFrame:
     """Per document: ``n_tokens``, ``n_oov`` and ``token_ids`` (array of
     long, OOV as -1, in original token order)."""
+    # NULL text = empty document (one empty token) — every id keeps a row
     toks = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("pos", "token"),
     )
     joined = toks.join(
         F.broadcast(vocab.select("token", "token_id")), on="token", how="left"

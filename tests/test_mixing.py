@@ -77,3 +77,30 @@ def test_negative_weight_rejected(spark, docs):
 def test_expected_multiplicity_helper():
     assert expected_multiplicity(2.5) == (2, 0.5)
     assert expected_multiplicity(0.4) == (0, 0.4)
+
+
+def test_mixture_split_shard_streams_independent(spark, docs):
+    """Same seed across mixture / split / shard must NOT correlate: the
+    salted hash streams are distinct, so a down-sampled domain still
+    lands in every split and every shard."""
+    from jitsu_spark.text.shard import shard_corpus
+    from jitsu_spark.text.split import split_corpus
+
+    mixed = sample_mixture(docs, {"a": 0.4}, seed=3)
+    kept_a = mixed.filter(F.col("source") == "a")
+    sp = split_corpus(kept_a, {"train": 0.6, "val": 0.2, "test": 0.2}, seed=3)
+    splits = {r["split"] for r in sp.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}  # unsalted streams -> train-only
+    sh = shard_corpus(kept_a, 4, seed=3)
+    assert sh.select("shard").distinct().count() == 4
+
+
+def test_internal_column_collision_rejected(spark):
+    from jitsu_spark.text.shard import shard_corpus
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, _n_copies int")
+    with pytest.raises(ValueError):
+        sample_mixture(df, {"x": 2.0})
+    df2 = spark.createDataFrame([(1, "z")], "doc_id long, _oh string")
+    with pytest.raises(ValueError):
+        shard_corpus(df2, 2)

@@ -122,3 +122,30 @@ def test_passage_dedup_global_uniqueness_property(spark):
     total = out.agg(F.sum("n_passages")).first()[0]
     assert total == p.count()
     out.unpersist()
+
+
+def test_pii_scrub_null_text_counts_zero(spark):
+    """NULL text (a CDC delete envelope) must produce 0 counts, not NULL."""
+    df = spark.createDataFrame([(1, None)], "doc_id int, text string")
+    r = scrub_pii(df).collect()[0]
+    assert (r["n_email"], r["n_ip"], r["n_phone"], r["n_card"]) == (0, 0, 0, 0)
+    assert r["pii_total"] == 0 and r["clean_text"] is None
+
+
+def test_null_text_docs_do_not_vanish(spark):
+    """Per-doc operators must emit a row for every input id, even with
+    NULL text (treated as the empty document)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d e")], "doc_id int, text string"
+    )
+    rep = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert set(rep) == {1, 2} and rep[1]["n_words"] == 1
+    ded = {r["doc_id"]: r for r in dedup_passages(df, window=3).collect()}
+    assert set(ded) == {1, 2} and ded[1]["clean_text"] == ""
+    from jitsu_spark.text.vocab import build_vocab, encode_documents
+
+    enc = {
+        r["doc_id"]: r
+        for r in encode_documents(df, build_vocab(df, 4)).collect()
+    }
+    assert set(enc) == {1, 2} and enc[1]["n_tokens"] == 1
