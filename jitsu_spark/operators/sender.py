@@ -94,9 +94,12 @@ class ConversionSendJob:
 
     def spool(self, df: DataFrame) -> dict[str, int]:
         """Write one NDJSON directory per batch plus a batch->n_events
-        manifest. Re-spooling the same frame rewrites identical content
-        (payloads and assignment are deterministic), so a crashed spool
-        is safely re-run."""
+        manifest carrying a per-batch CONTENT signature (order-independent
+        xor of xxhash64(id, payload)). Re-spooling the same frame rewrites
+        identical content, so a crashed spool is safely re-run; re-spooling
+        DIFFERENT content into the same work_dir invalidates the old acks
+        (they are tied to the old signatures) — without that, day-2 data in
+        a reused work_dir would be silently 'already sent'."""
         batched = assign_send_batches(
             df.select(
                 F.col(self.id_col).cast("string").alias("id"),
@@ -105,6 +108,17 @@ class ConversionSendJob:
             "id",
             self.n_batches,
         )
+        stats = batched.groupBy("batch_no").agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("id", "payload")).alias("sig"),
+        ).collect()  # bounded: <= n_batches rows
+        if any(r["batch_no"] is None for r in stats):
+            raise ValueError(
+                f"payload frame contains NULL {self.id_col!r} values — "
+                "every conversion event needs a deterministic id"
+            )
+        counts = {int(r["batch_no"]): int(r["n"]) for r in stats}
+        sigs = {int(r["batch_no"]): f"{int(r['sig']) & 0xFFFFFFFFFFFFFFFF:016x}" for r in stats}
         (
             batched.repartition(self.n_batches, "batch_no")
             .sortWithinPartitions("id")
@@ -112,21 +126,37 @@ class ConversionSendJob:
             .partitionBy("batch_no")
             .json(self.spool_dir)
         )
-        counts = {
-            int(r["batch_no"]): int(r["n"])
-            for r in batched.groupBy("batch_no").agg(F.count("*").alias("n")).collect()
-        }  # bounded: <= n_batches rows
+        # drop acks that no longer match this spool's content before the
+        # manifest flips, so a crash between the two steps fails safe
+        # (stale manifest + cleared acks -> re-send, never silent skip)
+        for b, ack in self.acks().items():
+            if ack.get("sig") != sigs.get(b):
+                os.remove(os.path.join(self.acks_dir, f"batch_{b}.json"))
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({str(k): v for k, v in sorted(counts.items())}, f)
+            json.dump(
+                {
+                    str(k): {"n": counts[k], "sig": sigs[k]}
+                    for k in sorted(counts)
+                },
+                f,
+            )
         os.replace(tmp, self.manifest_path)
         return counts
 
     # -- ack manifest ----------------------------------------------------
 
-    def _manifest(self) -> dict[int, int]:
+    def _manifest_raw(self) -> dict[int, dict]:
         with open(self.manifest_path) as f:
-            return {int(k): v for k, v in json.load(f).items()}
+            raw = json.load(f)
+        # legacy flat {batch: n} manifests read as sig-less entries
+        return {
+            int(k): (v if isinstance(v, dict) else {"n": v, "sig": None})
+            for k, v in raw.items()
+        }
+
+    def _manifest(self) -> dict[int, int]:
+        return {b: e["n"] for b, e in self._manifest_raw().items()}
 
     def acks(self) -> dict[int, dict]:
         out: dict[int, dict] = {}
@@ -192,15 +222,18 @@ class ConversionSendJob:
             send_part, "batch_no int, status string, attempts int, error string"
         ).collect()  # bounded: one row per pending batch
 
-        counts = self._manifest()
+        manifest = self._manifest_raw()
         sent = failed = attempts = 0
         for r in ack_rows:
+            entry = manifest.get(int(r["batch_no"]), {"n": 0, "sig": None})
             ack = {
                 "batch_no": int(r["batch_no"]),
                 "status": r["status"],
                 "attempts": int(r["attempts"]),
                 "error": r["error"],
-                "n_events": counts.get(int(r["batch_no"]), 0),
+                "n_events": entry["n"],
+                # ties the ack to the spool CONTENT it acknowledges
+                "sig": entry["sig"],
             }
             self._write_ack(ack)
             attempts += ack["attempts"]
@@ -215,7 +248,12 @@ class ConversionSendJob:
         a crash after the send job but before acks re-sends those batches
         — at-least-once under the idempotent-receiver contract)."""
         acked = self.acks()
-        pending = [b for b in self._manifest() if b not in acked]
+        manifest = self._manifest_raw()
+        pending = [
+            b
+            for b, e in manifest.items()
+            if b not in acked or acked[b].get("sig") != e["sig"]
+        ]
         return self._send_batches(spark, pending)
 
     def replay_failed(self, spark: SparkSession) -> SendReport:

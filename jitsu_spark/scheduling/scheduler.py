@@ -88,9 +88,12 @@ class CronSpec:
     @staticmethod
     def parse(spec: str) -> "CronSpec":
         raw = spec.strip()
-        if raw.startswith("@every"):
-            qty = raw.split(None, 1)[1].strip()
-            unit = {"s": 1, "m": 60, "h": 3600, "d": 86400}[qty[-1]]
+        if raw.split(None, 1)[:1] == ["@every"]:
+            parts = raw.split(None, 1)
+            qty = parts[1].strip() if len(parts) == 2 else ""
+            unit = {"s": 1, "m": 60, "h": 3600, "d": 86400}.get(qty[-1:])
+            if unit is None or not qty[:-1].isdigit():
+                raise ValueError(f"bad @every duration: {spec!r}")
             secs = int(qty[:-1]) * unit
             if secs <= 0:
                 raise ValueError(f"bad @every duration: {spec}")
@@ -106,8 +109,10 @@ class CronSpec:
         ]
         return CronSpec(
             *parsed,
-            dom_star=fields[2] == "*",
-            dow_star=fields[4] == "*",
+            # vixie/robfig star BIT: set when the field begins with '*'
+            # (including '*/n' steps) — governs the dom/dow AND-vs-OR rule
+            dom_star=fields[2].startswith("*"),
+            dow_star=fields[4].startswith("*"),
             source=spec,
         )
 
@@ -118,13 +123,12 @@ class CronSpec:
             return False
         dom_ok = t.day in self.dom
         dow_ok = (t.isoweekday() % 7) in self.dow  # Sunday=0
-        if self.dom_star and self.dow_star:
-            return True
-        if self.dom_star:
-            return dow_ok
-        if self.dow_star:
-            return dom_ok
-        return dom_ok or dow_ok  # both restricted: cron's OR rule
+        # vixie/robfig rule: if EITHER field carries the star bit ('*' or
+        # '*/n'), both must match (a '*/2' dom is still a real restriction
+        # via dom_ok); only when BOTH are non-star does the OR rule apply
+        if self.dom_star or self.dow_star:
+            return dom_ok and dow_ok
+        return dom_ok or dow_ok
 
     def next_fire(self, after: datetime) -> datetime:
         """First fire time strictly after ``after`` (minute granularity

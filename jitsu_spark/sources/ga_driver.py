@@ -142,10 +142,19 @@ class GaShapedReportDriver(IntervalDriver):
         from pyspark.sql import Window
 
         df = self.read_interval(spark, interval)
-        n = df.count()  # one bounded round trip, like the reference's
-        # page loop discovering the end of the report
         w = Window.orderBy("report_id")
-        numbered = df.withColumn("_rn", F.row_number().over(w))
+        # eager localCheckpoint: the report is computed ONCE; the count
+        # and every page slice (consumed lazily by the sync job's union
+        # commit, AFTER this generator is exhausted) read the stored
+        # blocks instead of re-running the scan+aggregate per page
+        # (pages+1 recomputes per interval). Blocks are freed by the
+        # ContextCleaner when the frame is released; executor loss mid-
+        # sync fails the interval, which the signature gate re-syncs.
+        numbered = df.withColumn("_rn", F.row_number().over(w)).localCheckpoint(
+            eager=True
+        )
+        n = numbered.count()  # bounded round trip, like the reference's
+        # page loop discovering the end of the report
         for start in range(0, max(n, 1), self.page_size):
             yield numbered.filter(
                 (F.col("_rn") > start) & (F.col("_rn") <= start + self.page_size)

@@ -278,12 +278,22 @@ class SingerTapJob:
         raw = self.spark.read.schema("_ln long, _raw string").json(spool)
         msgs = split_singer_messages(raw, line_col="_raw", order_col="_ln")
 
+        counts: dict[str, int] = {}
+        selected = (
+            selected_streams(self.catalog) if self.catalog is not None else None
+        )
+
         # SCHEMA messages update per-stream metadata (driver-side: a few
         # rows per portion at most). Applied in line order: two SCHEMA
         # messages for one stream in the same portion (mid-portion
         # evolution before a STATE boundary) must land last-wins, and
-        # collect() order is otherwise arbitrary.
+        # collect() order is otherwise arbitrary. Scoped to SELECTED
+        # streams: a deselected stream's schema never merges, so its
+        # reserved-column clash must not abort the sync (a tap that
+        # ignores --catalog still emits SCHEMAs for every stream).
         for r in sorted(msgs.schemas.collect(), key=lambda r: r["_ln"]):
+            if selected is not None and r["stream"] not in selected:
+                continue
             schema = json_schema_to_spark(json.loads(r["schema_json"]))
             clash = sorted(RESERVED_COLUMNS & {f.name for f in schema.fields})
             if clash:
@@ -295,11 +305,6 @@ class SingerTapJob:
                 schema=schema,
                 key_properties=list(r["key_properties"] or []),
             )
-
-        counts: dict[str, int] = {}
-        selected = (
-            selected_streams(self.catalog) if self.catalog is not None else None
-        )
         present = [
             r["stream"]
             for r in msgs.records.select("stream").distinct().collect()

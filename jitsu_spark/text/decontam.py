@@ -16,9 +16,14 @@ Scale shape (the part that matters at 100 TB):
   the per-doc hit count is a partial-combine aggregate of the (rare)
   matching rows — shuffle volume is O(contaminated shingles), not
   O(corpus shingles);
-- the final left join attaches hit counts back to one row per doc; the
-  hit-count side is `<=` #contaminated docs and is broadcast below the
-  configured threshold (the common case), else a plain shuffle join.
+- the final left join attaches hit counts back to one row per doc. The
+  hit-count side is one row per CONTAMINATED DOC — which is NOT bounded
+  by the bench shingle count (one common bench trigram can hit 10^7
+  corpus docs), so it is never force-broadcast by default; AQE converts
+  the join to broadcast at runtime when the hit frame is actually small
+  (the common case), which is the decision made from real sizes instead
+  of a wrong proxy. Pass ``broadcast_hits=True`` only when the caller
+  KNOWS the contaminated-doc count is bounded.
 
 Shingles are joined on ``xxhash64`` of the shingle string by default
 (8-byte keys instead of n-word strings in the broadcast + probe); set
@@ -34,8 +39,6 @@ from pyspark.sql import functions as F
 
 from jitsu_spark.dedup.minhash import _shingles
 
-BROADCAST_HITS_MAX = 200_000
-
 
 def ngram_contamination(
     docs: DataFrame,
@@ -45,7 +48,7 @@ def ngram_contamination(
     n: int = 3,
     bench_text_col: str | None = None,
     hash_shingles: bool = True,
-    broadcast_hits: bool | None = None,
+    broadcast_hits: bool = False,
 ) -> DataFrame:
     """Per training doc: total distinct n-gram shingles and how many also
     occur anywhere in ``bench``. Returns (id_col, n_shingles, n_hit);
@@ -72,11 +75,9 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hit"))  # shingles are distinct per doc
     )
-    if broadcast_hits is None:
-        broadcast_hits = bench_keys.count() <= BROADCAST_HITS_MAX
     if broadcast_hits:
-        # hit docs <= bench shingle count; small enough to broadcast, so
-        # the corpus-wide left join below stays shuffle-free
+        # caller-asserted bound on contaminated-doc count; without it AQE
+        # decides from the hit frame's ACTUAL post-shuffle size
         hits = F.broadcast(hits)
     return (
         sh.select(F.col(id_col), F.size("_sh").cast("long").alias("n_shingles"))

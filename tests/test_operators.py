@@ -582,3 +582,54 @@ def test_conversion_send_retry_dlq_and_replay(spark, tmpdir_path):
     # the ack ledger accounts for every spooled event exactly once
     ledger = job.ack_frame(spark)
     assert ledger.agg({"n_events": "sum"}).collect()[0][0] == 100
+
+
+def test_conversion_send_respool_invalidates_stale_acks(spark, tmpdir_path):
+    """Re-spooling DIFFERENT content into a reused work_dir must re-send:
+    acks are tied to the spool content signature, so day-2 data cannot be
+    silently 'already sent' (review finding r5)."""
+    import os
+
+    from jitsu_spark.operators.sender import ConversionSendJob
+
+    calls = os.path.join(tmpdir_path, "calls")
+    os.makedirs(calls)
+    job = ConversionSendJob(
+        os.path.join(tmpdir_path, "send"),
+        _fs_transport(calls),
+        id_col="event_id",
+        payload_col="payload",
+        n_batches=8,
+    )
+    day1 = job.spool(_payloads_df(spark, n=60))
+    assert job.send(spark).sent == len(day1)
+
+    # identical re-spool: signatures match, acks survive, nothing re-sends
+    job.spool(_payloads_df(spark, n=60))
+    assert job.send(spark).sent == 0
+
+    # different content (disjoint ids): every batch must send again
+    day2 = job.spool(
+        _payloads_df(spark, n=120).filter("cast(event_id as int) >= 60")
+    )
+    rep = job.send(spark)
+    assert rep.sent == len(day2)
+    assert rep.skipped_acked == 0 or rep.sent > 0  # no silent full-skip
+
+
+def test_conversion_send_null_ids_rejected(spark, tmpdir_path):
+    import os
+
+    import pytest as _pt
+
+    from jitsu_spark.operators.sender import ConversionSendJob
+
+    job = ConversionSendJob(
+        os.path.join(tmpdir_path, "send2"),
+        _fs_transport(os.path.join(tmpdir_path, "c2")),
+    )
+    df = spark.createDataFrame(
+        [(None, "p0"), ("1", "p1")], "event_id string, payload string"
+    )
+    with _pt.raises(ValueError, match="NULL"):
+        job.spool(df)

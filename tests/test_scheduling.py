@@ -69,9 +69,30 @@ def test_cron_dom_dow_or_rule():
 
 def test_cron_rejects_bad_specs():
     for bad in ("* * * *", "61 * * * *", "* 24 * * *", "*/0 * * * *",
-                "@every 0m", "a * * * *"):
-        with pytest.raises((ValueError, KeyError)):
+                "@every 0m", "a * * * *", "@every", "@every 5x",
+                "@every x5m", "@every -3m"):
+        with pytest.raises(ValueError):
             CronSpec.parse(bad)
+
+
+def test_cron_step_star_bit_uses_and_rule():
+    """vixie/robfig semantics: '*/2' in dom carries the star BIT, so with
+    a restricted dow the rule is AND (both must match), not cron's
+    both-restricted OR — '0 0 */2 * 1' fires only on Mondays whose
+    day-of-month is odd, never on non-Monday odd days."""
+    spec = CronSpec.parse("0 0 */2 * 1")
+    got, t = [], datetime(2024, 3, 1)
+    while len(got) < 3:
+        t = spec.next_fire(t)
+        got.append(t)
+    assert got == [
+        datetime(2024, 3, 11),  # Monday the 11th (odd dom)
+        datetime(2024, 3, 25),  # Monday the 25th (Mar 18 is even -> skipped)
+        datetime(2024, 4, 1),   # Monday the 1st
+    ]
+    # plain-star dom with restricted dow still fires every Monday
+    plain = CronSpec.parse("0 0 * * 1")
+    assert plain.next_fire(datetime(2024, 3, 1)) == datetime(2024, 3, 4)
 
 
 def test_schedule_dedup_priority_and_removal():

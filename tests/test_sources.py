@@ -1486,3 +1486,51 @@ print(json.dumps({"type": "STATE", "value": {"bookmark": 1}}))
     assert "name" in {f.name for f in t.schema().fields}
     rows = {r["id"]: r["name"] for r in t.read().collect()}
     assert rows == {1: None, 2: "late"}
+
+
+def test_singer_deselected_stream_reserved_schema_does_not_abort(spark, tmpdir_path):
+    """A DESELECTED stream's SCHEMA declaring a reserved engine column
+    must not abort the sync: the tap may ignore --catalog and emit every
+    stream's SCHEMA, but only selected streams ever merge (r5 review
+    finding — the clash check ran before selection was applied)."""
+    import os
+    import sys
+
+    from jitsu_spark.sources.singer_tap import SingerTapJob
+
+    tap = os.path.join(tmpdir_path, "tap.py")
+    with open(tap, "w") as f:
+        f.write(r'''
+import json
+print(json.dumps({"type": "SCHEMA", "stream": "audit",
+                  "schema": {"properties": {"id": {"type": "integer"},
+                                            "op": {"type": "string"}}},
+                  "key_properties": ["id"]}))
+print(json.dumps({"type": "SCHEMA", "stream": "users",
+                  "schema": {"properties": {"id": {"type": "integer"},
+                                            "name": {"type": "string"}}},
+                  "key_properties": ["id"]}))
+print(json.dumps({"type": "RECORD", "stream": "audit",
+                  "record": {"id": 9, "op": "x"}}))
+print(json.dumps({"type": "RECORD", "stream": "users",
+                  "record": {"id": 1, "name": "ann"}}))
+print(json.dumps({"type": "STATE", "value": {"bookmark": 1}}))
+''')
+    job = SingerTapJob(
+        spark=spark,
+        tap_cmd=[sys.executable, tap],
+        work_dir=os.path.join(tmpdir_path, "work"),
+        tables_root=os.path.join(tmpdir_path, "tables"),
+        job_id="singer-desel",
+        catalog={
+            "streams": [
+                {"stream": "users", "selected": True},
+                {"stream": "audit", "selected": False},
+            ]
+        },
+    )
+    rep = job.run_once()
+    assert rep.records == {"users": 1}
+    assert set(job.tables) == {"users"}
+    rows = job.tables["users"].read().collect()
+    assert len(rows) == 1 and rows[0]["name"] == "ann"
