@@ -457,6 +457,16 @@ def q_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_corpus(d, 8, seed=5)
 
 
+def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced curation: assign every embedding to its nearest
+    deterministic sampled centroid, cap each semantic cluster at 10
+    members via a salted md5 rank (SemDeDup-style rebalancing)."""
+    from jitsu_spark.similarity.curation import cluster_balanced_sample
+
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cluster_balanced_sample(e, "vec_id", cap=10, seed=4)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-sequence packing: md5-derived tokens from documents packed
     into 128-token training sequences; per-pack position-weighted
@@ -1546,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_encode": q_vocab_encode,
         "corpus_split": q_corpus_split,
         "shard_corpus": q_shard_corpus,
+        "cluster_balanced": q_cluster_balanced,
         "minhash_signature": q_minhash_signature,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -2015,6 +2026,39 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY shard ORDER BY oh, doc_id
                    ) - 1 AS BIGINT) AS pos_in_shard
             FROM t
+        """,
+        # cluster-balanced curation: nearest sampled centroid (6dp-rounded
+        # argmax, centroid-id tiebreak), salted-md5 rank cap per cluster
+        "cluster_balanced": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cent AS (
+                SELECT vec_id AS cent_id, v AS cvec FROM e
+                WHERE vec_id % 25 = 0
+            ),
+            assigned AS (
+                SELECT vec_id, cent_id AS cluster FROM (
+                    SELECT e.vec_id, cent.cent_id,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY round(list_cosine_similarity(
+                                   e.v, cent.cvec), 6) DESC,
+                               cent.cent_id ASC) AS cr
+                    FROM e, cent
+                ) WHERE cr = 1
+            ),
+            ranked AS (
+                SELECT vec_id, cluster,
+                       CAST(row_number() OVER (
+                           PARTITION BY cluster
+                           ORDER BY md5('cursample:4#'
+                                        || CAST(vec_id AS VARCHAR)) ASC,
+                                    vec_id ASC
+                       ) AS INT) AS pick_rank
+                FROM assigned
+            )
+            SELECT vec_id, cluster, pick_rank
+            FROM ranked WHERE pick_rank <= 10
         """,
         # corpus head: deterministic total order, fixed-size top-k
         "quality_topk": """

@@ -514,3 +514,43 @@ def test_ngram_contamination_exact_and_hash_equivalence(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_cluster_assign_and_balanced_sample(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from jitsu_spark.similarity.curation import (
+        assign_clusters,
+        cluster_balanced_sample,
+    )
+
+    e = embeddings.select("vec_id", "embedding")
+    a = assign_clusters(e, "vec_id").cache()
+    # exactly one cluster per vector; centroids land in their own cluster
+    assert a.count() == e.count()
+    assert a.groupBy("vec_id").count().filter("count != 1").count() == 0
+    own = a.filter(F.col("vec_id") % 25 == 0)
+    assert own.filter(F.col("cluster") != F.col("vec_id")).count() == 0
+    assert own.filter(F.col("cluster_sim") < 0.999999).count() == 0
+
+    s = cluster_balanced_sample(e, "vec_id", cap=3).cache()
+    sizes = s.groupBy("cluster").count()
+    assert sizes.filter("count > 3").count() == 0
+    # clusters smaller than the cap keep every member
+    asize = {r["cluster"]: r["n"] for r in a.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    ssize = {r["cluster"]: r["count"] for r in sizes.collect()}
+    for c, n in asize.items():
+        assert ssize.get(c, 0) == min(n, 3)
+    # deterministic under repartitioning
+    s2 = cluster_balanced_sample(e.repartition(7), "vec_id", cap=3)
+    assert s.exceptAll(s2).count() == 0 and s2.exceptAll(s.select(*s2.columns)).count() == 0
+    a.unpersist(); s.unpersist()
+
+
+def test_cluster_balanced_sample_rejects_bad_cap(spark, embeddings):
+    import pytest as _pt
+
+    from jitsu_spark.similarity.curation import cluster_balanced_sample
+
+    with _pt.raises(ValueError):
+        cluster_balanced_sample(embeddings, "vec_id", cap=0)
