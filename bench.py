@@ -261,6 +261,7 @@ def main() -> None:
         "simhash": entry.q_simhash,
         "embedding_topk": entry.q_embedding_topk,
         "ann_lsh_topk": entry.q_ann_lsh_topk,
+        "cluster_balanced": entry.q_cluster_balanced,
         "pricing_summary": entry.q_pricing_summary,
         "revenue_by_nation": entry.q_revenue_by_nation,
         "multimodal_features": entry.q_multimodal_features,
@@ -368,6 +369,7 @@ def main() -> None:
                 # ANN family
                 "embedding_topk_10x": entry.q_embedding_topk,
                 "ann_lsh_topk_10x": entry.q_ann_lsh_topk,
+                "cluster_balanced_10x": entry.q_cluster_balanced,
                 # source-driver family: full-snapshot sync scales with
                 # the documents table; the interval driver's report path
                 # scales with events (timed separately below — it is a
