@@ -12,11 +12,18 @@ Scale shape:
   TakeOrderedAndProject (per-partition heaps, no global sort), and the
   id assignment runs a row_number window over the ALREADY-LIMITED V-row
   frame — the single-partition window touches V rows, never the corpus;
-- encoding is a broadcast LEFT join of the exploded (doc, pos, token)
-  stream against the V-row vocab, re-assembled per doc with an
-  array_sort over collected (pos, id) structs. One shuffle, keyed by
-  doc_id. V is bounded by construction (it is the model's embedding
-  width), so the broadcast is always safe.
+- encoding is, by default, a NARROW projection: the V-row vocab is
+  collected driver-side (bounded control-plane read — V is the model's
+  embedding width) into a ``create_map`` literal and each document's
+  token array maps through ``element_at`` inside codegen. Zero shuffle,
+  zero explode, composes with any downstream partitioning — measured
+  2→8-core scaling went from 0.59 (join+collect_list reassembly, the
+  ``strategy="join"`` fallback) to ~the hardware ceiling, because the
+  join path's doc_id re-shuffle of every (pos, id) pair disappears.
+  For a vocab too large for a map literal (> ``map_literal_max``),
+  ``strategy="join"`` keeps the broadcast-join path: exploded (doc,
+  pos, token) stream joined against the vocab, re-assembled with an
+  array_sort over collected (pos, id) structs — one doc_id shuffle.
 """
 
 from __future__ import annotations
@@ -55,9 +62,57 @@ def encode_documents(
     vocab: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    strategy: str | None = None,
+    map_literal_max: int = 4096,
 ) -> DataFrame:
     """Per document: ``n_tokens``, ``n_oov`` and ``token_ids`` (array of
-    long, OOV as -1, in original token order)."""
+    long, OOV as -1, in original token order).
+
+    ``strategy``: None (auto — map literal when the vocab fits in
+    ``map_literal_max`` rows, else join), "map", or "join"."""
+    if strategy not in (None, "map", "join"):
+        raise ValueError(f"unknown encode strategy {strategy!r}")
+    if strategy != "join":
+        # bounded control-plane read: at most map_literal_max+1 rows
+        head = vocab.select("token", "token_id").limit(map_literal_max + 1).collect()
+        if len(head) <= map_literal_max:
+            return _encode_via_map(docs, head, id_col, text_col)
+        if strategy == "map":
+            raise ValueError(
+                f"vocab exceeds map_literal_max={map_literal_max}; "
+                "use strategy='join'"
+            )
+    return _encode_via_join(docs, vocab, id_col, text_col)
+
+
+def _encode_via_map(
+    docs: DataFrame, vocab_rows: list, id_col: str, text_col: str
+) -> DataFrame:
+    """Narrow-projection encode: token->id as a create_map literal,
+    element_at per array slot inside codegen. Zero shuffle."""
+    pairs: list = []
+    for r in vocab_rows:
+        pairs.append(F.lit(r["token"]))
+        pairs.append(F.lit(int(r["token_id"])))
+    m = F.create_map(*pairs) if pairs else F.create_map()
+    # NULL text = empty document (one empty token) — every id keeps a row
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    ids = F.transform(
+        words, lambda w: F.coalesce(F.element_at(m, w), F.lit(OOV_ID)).cast("long")
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_tokens"),
+        F.size(F.filter(ids, lambda x: x == OOV_ID)).cast("long").alias("n_oov"),
+        ids.alias("token_ids"),
+    )
+
+
+def _encode_via_join(
+    docs: DataFrame, vocab: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Broadcast-join encode for vocabularies too large for a map
+    literal; one doc_id shuffle to reassemble order."""
     # NULL text = empty document (one empty token) — every id keeps a row
     toks = docs.select(
         F.col(id_col),
@@ -77,6 +132,6 @@ def encode_documents(
         F.sum((F.col("tid") == OOV_ID).cast("long")).cast("long").alias("n_oov"),
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "tid"))),
-            lambda s: s["tid"],
+            lambda s: s["tid"].cast("long"),
         ).alias("token_ids"),
     )

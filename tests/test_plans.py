@@ -278,9 +278,10 @@ def test_repetition_signals_two_exchanges_partial_agg(spark):
     assert "partial_count" in plan  # map-side combine before shuffle 1
 
 
-def test_vocab_encode_broadcasts_vocab(spark):
-    """Encoding joins the exploded token stream against the V-row vocab:
-    must be a broadcast hash join (V is bounded), never sort-merge."""
+def test_vocab_encode_map_path_is_narrow(spark):
+    """The default (bounded-V) encode is a map-literal narrow projection:
+    zero exchanges, no join, no Python — the shuffle-free plan that fixed
+    the 0.59 scaling efficiency of the join path."""
     from jitsu_spark.text.vocab import build_vocab, encode_documents
 
     df = spark.createDataFrame(
@@ -288,6 +289,21 @@ def test_vocab_encode_broadcasts_vocab(spark):
     )
     vocab = build_vocab(df, 4)
     plan = plan_of(encode_documents(df, vocab))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_encode_join_path_broadcasts(spark):
+    """The large-V fallback joins the exploded token stream against the
+    vocab: must be a broadcast hash join, never sort-merge."""
+    from jitsu_spark.text.vocab import build_vocab, encode_documents
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(10)], "doc_id long, text string"
+    )
+    vocab = build_vocab(df, 4)
+    plan = plan_of(encode_documents(df, vocab, strategy="join"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 

@@ -105,3 +105,29 @@ def test_shard_corpus_rejects_bad_n(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError):
         shard_corpus(df, 0)
+
+
+def test_encode_map_and_join_paths_equivalent(spark):
+    from jitsu_spark.text.vocab import build_vocab, encode_documents
+
+    rows = [(i, f"t{i % 9} zz t{i % 4} t{i % 9}") for i in range(200)] + [
+        (999, None)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = build_vocab(df, 6)
+    m = encode_documents(df, vocab, strategy="map").select(
+        "doc_id", "n_tokens", "n_oov", F.col("token_ids").cast("string").alias("s")
+    )
+    j = encode_documents(df, vocab, strategy="join").select(
+        "doc_id", "n_tokens", "n_oov", F.col("token_ids").cast("string").alias("s")
+    )
+    assert m.exceptAll(j).count() == 0 and j.exceptAll(m).count() == 0
+    # forced map strategy on an oversized vocab is rejected
+    big = build_vocab(df, 6)
+    with pytest.raises(ValueError):
+        encode_documents(df, big, strategy="map", map_literal_max=2)
+    # auto falls back to join above the cap (still correct)
+    auto = encode_documents(df, vocab, map_literal_max=2).select(
+        "doc_id", "n_tokens", "n_oov", F.col("token_ids").cast("string").alias("s")
+    )
+    assert auto.exceptAll(j).count() == 0
