@@ -11,12 +11,13 @@ Scale shape: one explode to (doc, pos, passage); the first-occurrence
 rule is a ``min(struct(doc_id, pos))`` AGGREGATE per passage — partial-
 combinable, so a pathologically duplicated passage (boilerplate shared
 by 10^7 documents) collapses map-side instead of flooding one reducer
-the way a row_number window over ``passage`` would. The keep-flag join
-back is keyed on the full (passage, doc_id, pos) triple, so even the hot
-passage's occurrences spread across reducers (only its single winner row
-has one fixed key). Reassembly is a groupBy(doc) with an array_sort of
-collected (pos, passage) structs — per-doc state only. No driver-side
-loops, nothing quadratic, no window. At 100 TB the shuffle key would be
+the way a row_number window over ``passage`` would. The winner rows ARE
+the kept set, so reassembly (groupBy(doc) + array_sort of collected
+(pos, passage) structs) shuffles only winners — at most one row per
+DISTINCT passage — and per-doc totals come from a narrow expression on
+the source joined back by id. No keep-flag join over the occurrence
+stream, no full-stream regroup, no driver-side loops, nothing
+quadratic, no window. At 100 TB the shuffle key would be
 a passage HASH (md5) with the text carried alongside; here the text
 itself is the key so the DuckDB oracle matches trivially — swapping in
 the hash key is a one-line change that does not alter semantics (md5
@@ -68,32 +69,39 @@ def dedup_passages(
     p = explode_passages(df, id_col, text_col, window)
     # global first occurrence per passage: a partial-combinable min over
     # (doc_id, pos) structs — the skew defense (vs a window's single-
-    # reducer hot group)
+    # reducer hot group). The winner rows ARE the kept set, so the
+    # reassembly below shuffles ONLY winners (<= distinct passages),
+    # never the full occurrence stream — on a duplicate-heavy corpus the
+    # two heavy shuffles the naive plan pays (mark-join + full-stream
+    # regroup) disappear entirely.
     winners = p.groupBy("passage").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w")
     ).select(
-        "passage",
         F.col(f"_w.{id_col}").alias(id_col),
         F.col("_w.pos").alias("pos"),
-        F.lit(True).alias("_keep"),
+        "passage",
     )
-    # triple-key join: hot-passage occurrences carry distinct (doc, pos)
-    # keys, so no reducer hotspot
-    marked = p.join(
-        winners, on=["passage", id_col, "pos"], how="left"
-    ).withColumn("_keep", F.coalesce(F.col("_keep"), F.lit(False)))
-    return marked.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_passages"),
-        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
+    kept = winners.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("_keep"), F.struct("pos", "passage"))
-                    )
-                ),
+                F.array_sort(F.collect_list(F.struct("pos", "passage"))),
                 lambda s: s["passage"],
             ),
             " ",
         ).alias("clean_text"),
+    )
+    # n_passages is a narrow per-doc expression on the source; the join
+    # ships only (id, count) on the source side and the winner aggregate
+    # on the other
+    w = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    totals = df.select(
+        F.col(id_col),
+        F.ceil(F.size(w) / F.lit(window)).cast("long").alias("n_passages"),
+    )
+    return totals.join(kept, on=id_col, how="left").select(
+        id_col,
+        "n_passages",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
