@@ -408,6 +408,74 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_passages(d, window=10)
 
 
+def q_passage_dedup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage dedup maintained INCREMENTALLY (text/passage_ivm.py): the
+    documents table replays into a MoR upstream as 3 batches — inserts,
+    then wrong-text inserts + bogus docs, then corrective updates +
+    deletes — and after every merge the dedup view syncs from changes()
+    (occurrence retract/assert + dirty-passage winner recompute +
+    affected-doc rebuild, all bucket-pruned, O(change) not O(corpus)).
+    The final view must equal the full recompute, so the oracle is the
+    SAME SQL as passage_dedup."""
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+    from jitsu_spark.text.passage_ivm import PassageDedupView
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    up = LakeTable.create(
+        spark,
+        _scratch("pivm_up"),
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+        "doc_id",
+        n_buckets=16,
+        properties={"write.mode": "mor"},
+    )
+    view = PassageDedupView.create(
+        spark, _scratch("pivm_view"), window=10, n_buckets=16
+    )
+    m3 = F.col("doc_id") % 3
+    seq_op = lambda s: [F.lit(s).cast("long").alias("seq"), F.lit("u").alias("op")]  # noqa: E731
+    b0 = d.filter(m3 == 0).select("doc_id", "text", *seq_op(1))
+    b1 = (
+        d.filter(m3 == 1).select("doc_id", "text", *seq_op(2))
+        .unionByName(
+            d.filter(m3 == 2).select(
+                "doc_id",
+                F.concat(F.lit("corrupt "), F.col("doc_id").cast("string"))
+                .alias("text"),
+                *seq_op(2),
+            )
+        )
+        .unionByName(
+            d.filter(m3 == 0).limit(20).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.lit("bogus shared boilerplate row").alias("text"),
+                *seq_op(2),
+            )
+        )
+    )
+    b2 = (
+        d.filter(m3 == 2).select("doc_id", "text", *seq_op(3))
+        .unionByName(
+            d.filter(m3 == 0).limit(20).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(3).cast("long").alias("seq"),
+                F.lit("d").alias("op"),
+            )
+        )
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        merge_batch(up, b, batch_id=i, job_id="pivm")
+        view.sync(up)
+    return view.read().select("doc_id", "n_passages", "n_kept", "clean_text")
+
+
 def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus head selection: top 100 documents by the deterministic
     quality order (TakeOrderedAndProject — no global sort)."""
@@ -1552,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_signals": q_repetition_signals,
         "passage_dedup": q_passage_dedup,
+        "passage_dedup_ivm": q_passage_dedup_ivm,
         "quality_topk": q_quality_topk,
         "vocab_encode": q_vocab_encode,
         "corpus_split": q_corpus_split,
@@ -2684,6 +2753,9 @@ def oracle_sql() -> dict[str, str]:
     }
     # algorithm equivalence: the star variant answers to the SAME oracle
     out["near_dup_star"] = out["near_dup_components"]
+    # incremental maintenance == full recompute: the changes()-fed
+    # passage-dedup view must converge to exactly the batch answer
+    out["passage_dedup_ivm"] = out["passage_dedup"]
     # state invariance: a mid-replay bucket resize must not change the
     # final LWW state, so the rebucket replay answers the SAME oracle as
     # the plain replay

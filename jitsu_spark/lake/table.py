@@ -42,6 +42,15 @@ from jitsu_spark.typesys.align import align_to_schema
 BUCKET_COL = "_jb"  # internal bucket column used only around writes
 MOR_OP_COL = "_mor_op_file"  # op column persisted inside MoR delta files
 WRITE_MODE_PROP = "write.mode"  # "cow" (default) | "mor"
+# Optional: bucket on the key's PREFIX up to (excluding) the first
+# occurrence of this separator instead of the whole key. Keys sharing a
+# prefix then co-locate in one bucket, so a read can bucket-prune by the
+# prefix alone — the inverted-index layout (e.g. all occurrences of one
+# passage keyed "hash#doc#pos" land together). A probe value that contains
+# no separator hashes to itself, so bucket_expr(prefix) == the bucket of
+# every full key with that prefix. Requires a STRING key; the separator
+# must never appear inside the prefix component.
+BUCKET_PREFIX_SEP_PROP = "bucket.prefix_sep"
 
 
 @dataclass
@@ -72,6 +81,13 @@ class LakeTable:
         kt = schema[key_field].dataType
         if isinstance(kt, (T.ArrayType, T.StructType, T.MapType)):
             raise ValueError("key field must be scalar (never key on arrays)")
+        if (properties or {}).get(BUCKET_PREFIX_SEP_PROP) and not isinstance(
+            kt, T.StringType
+        ):
+            raise ValueError(
+                f"{BUCKET_PREFIX_SEP_PROP} requires a string key "
+                "(the bucket is the hash of the key's prefix component)"
+            )
         snap = Snapshot(
             version=0,
             key_field=key_field,
@@ -109,9 +125,17 @@ class LakeTable:
             __import__("json").loads(self.snapshot(version).schema_json)
         )
 
-    def bucket_expr(self, key_col) -> F.Column:
-        n = self.snapshot().n_buckets
-        return F.pmod(F.xxhash64(key_col), F.lit(n)).cast("int")
+    def bucket_expr(self, key_col, n_buckets: int | None = None) -> F.Column:
+        """Bucket id for a key value. With ``bucket.prefix_sep`` set, the
+        hash covers only the key's prefix (text before the first
+        separator) — a bare prefix therefore hashes to the same bucket as
+        every full key carrying it, which is what makes prefix-pruned
+        reads exact."""
+        snap = self.snapshot()
+        n = snap.n_buckets if n_buckets is None else n_buckets
+        sep = snap.properties.get(BUCKET_PREFIX_SEP_PROP)
+        base = F.substring_index(key_col, sep, 1) if sep else key_col
+        return F.pmod(F.xxhash64(base), F.lit(n)).cast("int")
 
     def write_mode(self, snap: Snapshot | None = None) -> str:
         """'cow' (default): merges rewrite affected buckets, reads are
@@ -538,8 +562,7 @@ class LakeTable:
         new_n = snap.n_buckets * factor
         key = snap.key_field
         df = self.read(snap=snap).withColumn(
-            BUCKET_COL,
-            F.pmod(F.xxhash64(F.col(key)), F.lit(new_n)).cast("int"),
+            BUCKET_COL, self.bucket_expr(F.col(key), n_buckets=new_n)
         )
         new_files = self._write_files(df)
         entries = self.build_entries(new_files, snap.current_schema_id, snap)

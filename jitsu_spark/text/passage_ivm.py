@@ -1,0 +1,403 @@
+"""Incremental maintenance of the cross-document passage-dedup result.
+
+``dedup_passages`` (passages.py) is a full-corpus recompute: every sync of
+a growing corpus would re-shuffle every passage of every document. This
+module keeps the same per-document result — ``(doc, n_passages, n_kept,
+clean_text)`` under global first-occurrence-wins — continuously up to date
+from an upstream MoR document table's ``changes()`` feed, doing work
+proportional to the CHANGE, not the corpus:
+
+state tables (all MoR, exactly-once manifest cursor like lake/mirror.py):
+
+- ``occ`` — the inverted index: one row per passage occurrence, key
+  ``md5(passage) # doc # pos`` with ``bucket.prefix_sep='#'`` so ALL
+  occurrences of one passage co-locate in one bucket and a read can
+  bucket-prune by the passage hash alone;
+- ``winners`` — one row per distinct passage: the current first
+  occurrence ``(win_doc, win_pos)``, keyed by the passage hash;
+- ``result`` — the per-document output rows, keyed by the upstream key.
+
+per sync (upstream versions ``since -> cur``):
+
+1. changed docs D from ``changes()``; their pre-image text (upstream read
+   AT ``since``, bucket-pruned to D) and post-image text (read at
+   ``cur``) explode to the occurrence rows to retract / assert — O(D);
+2. the occ merge applies retractions (op 'd', even seq) and assertions
+   (op 'u', odd seq — LWW keeps the assertion when a key appears in
+   both, i.e. the unchanged part of an updated document);
+3. dirty passages P = distinct passage hashes across both sides — only
+   THEIR winner can change. New winners = ``min(struct(doc, pos))``
+   (partial-combinable — a boilerplate passage shared by 10^7 docs
+   collapses map-side) over the occ table read pruned to P's buckets,
+   semi-joined to P; passages with no occurrences left become winner
+   deletes;
+4. affected docs A = D ∪ old-winner docs of P ∪ new-winner docs of P —
+   the only docs whose kept-set can differ. Their rows are rebuilt by
+   joining their exploded post-image passages to the winners table
+   (pruned to those passages' buckets) and merged into ``result``;
+   upstream deletes delete their result row.
+
+Everything is bucket-pruned on both ends; no full-corpus scan, shuffle,
+or window appears anywhere. Crash-safety: each stage carries its OWN
+cursor (its table's commit manifest), applied in occ -> winners -> result
+order; a stage's window is (its own cursor, upstream current], so a crash
+between stages — even with further upstream commits before the retry —
+resumes with each stage recomputing a window that exactly matches what
+its table is missing. Reads that must see another table's PRE-advance
+state pin the version its lineage records for the consistent batch
+(``_version_after_batch``). Consume-before-compact applies to the
+upstream as for any ``changes()`` consumer, and to the state tables'
+manifests for unfinished retries.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jitsu_spark.lake.merge import merge_batch
+from jitsu_spark.lake.mirror import MirrorResult, last_synced_version
+from jitsu_spark.lake.table import BUCKET_PREFIX_SEP_PROP, LakeTable
+from jitsu_spark.text.passages import explode_passages
+
+SEP = "#"  # never appears inside an md5 hex prefix
+
+
+def _version_after_batch(table: LakeTable, job_id: str, upstream_v: int) -> int:
+    """The version of ``table`` just AFTER batch ``v<upstream_v>`` was
+    merged (0 when ``upstream_v`` is 0, i.e. never synced) — the pinned
+    read point at which ``table`` is consistent with the upstream at
+    ``upstream_v``. Raises if the batch's lineage entry has been archived
+    (sync retries must complete before ``compact_manifest``, the usual
+    consume-before-compact rule)."""
+    if upstream_v <= 0:
+        return 0
+    bid = f"v{upstream_v}"
+    for e in table.snapshot().lineage:
+        if (
+            e.get("kind") == "merge"
+            and e.get("job_id") == job_id
+            and str(e.get("batch_id")) == bid
+        ):
+            return e["version"]
+    raise ValueError(
+        f"lineage for sync batch {bid} of {table.root} is archived — "
+        "finish/retry syncs before compact_manifest"
+    )
+
+
+@dataclass
+class PassageDedupView:
+    """The three state tables plus sync parameters; see module docstring."""
+
+    occ: LakeTable
+    winners: LakeTable
+    result: LakeTable
+    window: int = 10
+    job_id: str = "passage-ivm"
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        key_field: str = "doc_id",
+        key_type: T.DataType = T.LongType(),
+        window: int = 10,
+        n_buckets: int = 16,
+        job_id: str = "passage-ivm",
+    ) -> "PassageDedupView":
+        mor = {"write.mode": "mor"}
+        occ = LakeTable.create(
+            spark,
+            os.path.join(root, "occ"),
+            T.StructType(
+                [
+                    T.StructField("k", T.StringType()),
+                    T.StructField("passage_h", T.StringType()),
+                    T.StructField("doc", key_type),
+                    T.StructField("pos", T.LongType()),
+                    T.StructField("passage", T.StringType()),
+                ]
+            ),
+            "k",
+            n_buckets=n_buckets,
+            properties={**mor, BUCKET_PREFIX_SEP_PROP: SEP},
+        )
+        winners = LakeTable.create(
+            spark,
+            os.path.join(root, "winners"),
+            T.StructType(
+                [
+                    T.StructField("passage_h", T.StringType()),
+                    T.StructField("win_doc", key_type),
+                    T.StructField("win_pos", T.LongType()),
+                ]
+            ),
+            "passage_h",
+            n_buckets=n_buckets,
+            properties=dict(mor),
+        )
+        result = LakeTable.create(
+            spark,
+            os.path.join(root, "result"),
+            T.StructType(
+                [
+                    T.StructField(key_field, key_type),
+                    T.StructField("n_passages", T.LongType()),
+                    T.StructField("n_kept", T.LongType()),
+                    T.StructField("clean_text", T.StringType()),
+                ]
+            ),
+            key_field,
+            n_buckets=n_buckets,
+            properties=dict(mor),
+        )
+        return PassageDedupView(occ, winners, result, window, job_id)
+
+    @staticmethod
+    def load(spark: SparkSession, root: str, window: int = 10,
+             job_id: str = "passage-ivm") -> "PassageDedupView":
+        return PassageDedupView(
+            LakeTable.load(spark, os.path.join(root, "occ")),
+            LakeTable.load(spark, os.path.join(root, "winners")),
+            LakeTable.load(spark, os.path.join(root, "result")),
+            window,
+            job_id,
+        )
+
+    # -- sync ---------------------------------------------------------------
+
+    def _occurrences(self, docs: DataFrame, key: str) -> DataFrame:
+        p = explode_passages(docs, id_col=key, text_col="text",
+                             window=self.window)
+        h = F.md5(F.col("passage"))
+        return p.select(
+            F.concat(
+                h, F.lit(SEP), F.col(key).cast("string"), F.lit(SEP),
+                F.col("pos").cast("string"),
+            ).alias("k"),
+            h.alias("passage_h"),
+            F.col(key).alias("doc"),
+            F.col("pos").cast("long").alias("pos"),
+            "passage",
+        )
+
+    def _buckets(self, table: LakeTable, df: DataFrame, col: str) -> list[int]:
+        return sorted(
+            r["b"]
+            for r in df.select(table.bucket_expr(F.col(col)).alias("b"))
+            .distinct()
+            .collect()
+        )
+
+    def _window(self, src: LakeTable, lo: int, cur: int, key: str,
+                text_col: str):
+        """(changed keys, pre-image docs @lo, post-image docs @cur) for the
+        upstream window (lo, cur] — every read bucket-pruned to the
+        changed docs."""
+        changed = (
+            src.changes(since_version=lo, to_version=cur)
+            .select(key).distinct().persist()
+        )
+        dbk = self._buckets(src, changed, key)
+        pre = (
+            src.read(version=lo, buckets=dbk)
+            .join(changed, on=key, how="semi")
+            .select(key, F.col(text_col).alias("text"))
+        )
+        post = (
+            src.read(version=cur, buckets=dbk)
+            .join(changed, on=key, how="semi")
+            .select(key, F.col(text_col).alias("text"))
+        )
+        return changed, pre, post
+
+    def sync(self, src: LakeTable, text_col: str = "text") -> MirrorResult:
+        """Advance all three state tables to the upstream's current
+        version. The three stages carry INDEPENDENT cursors (each table's
+        own commit manifest), applied in occ -> winners -> result order,
+        so a crash between stages resumes exactly where it stopped even
+        if more upstream commits landed in between — each retried stage
+        recomputes its window from its OWN cursor against pinned upstream
+        versions, never against state another stage already moved."""
+        res_since = last_synced_version(self.result, self.job_id)
+        cur = src.snapshot().version
+        if cur <= res_since:
+            return MirrorResult(from_version=res_since, to_version=res_since,
+                                skipped=True)
+        bid = f"v{cur}"
+        key = src.snapshot().key_field
+        pinned: list[DataFrame] = []
+        try:
+            # -- stage 1: occurrence index retract/assert — O(changed) ------
+            occ_since = last_synced_version(self.occ, self.job_id)
+            if occ_since < cur:
+                ch1, pre1, post1 = self._window(src, occ_since, cur, key,
+                                                text_col)
+                pinned.append(ch1)
+                occ_batch = self._occurrences(pre1, key).select(
+                    "k", "passage_h", "doc", "pos", "passage",
+                    F.lit(2 * cur).cast("long").alias("seq"),
+                    F.lit("d").alias("op"),
+                ).unionByName(
+                    self._occurrences(post1, key).select(
+                        "k", "passage_h", "doc", "pos", "passage",
+                        F.lit(2 * cur + 1).cast("long").alias("seq"),
+                        F.lit("u").alias("op"),
+                    )
+                )
+                merge_batch(self.occ, occ_batch, batch_id=bid,
+                            job_id=self.job_id)
+
+            # -- stage 2: winner recompute for DIRTY passages only ----------
+            win_since = last_synced_version(self.winners, self.job_id)
+            if win_since < cur:
+                ch2, pre2, post2 = self._window(src, win_since, cur, key,
+                                                text_col)
+                pinned.append(ch2)
+                dirty = (
+                    self._occurrences(pre2, key).select("passage_h")
+                    .unionByName(
+                        self._occurrences(post2, key).select("passage_h")
+                    )
+                    .distinct()
+                    .persist()
+                )
+                pinned.append(dirty)
+                # occ is now consistent with src@cur; prefix bucketing makes
+                # the dirty-passage read exact and pruned
+                pbk = self._buckets(self.occ, dirty, "passage_h")
+                new_winners = (
+                    self.occ.read(buckets=pbk)
+                    .join(dirty, on="passage_h", how="semi")
+                    .groupBy("passage_h")
+                    .agg(F.min(F.struct("doc", "pos")).alias("_w"))
+                    .select(
+                        "passage_h",
+                        F.col("_w.doc").alias("win_doc"),
+                        F.col("_w.pos").alias("win_pos"),
+                    )
+                    .persist()
+                )
+                pinned.append(new_winners)
+                wbk = self._buckets(self.winners, dirty, "passage_h")
+                # winners is still at win_since state here (its own batch
+                # is unapplied), so current reads ARE the old winners
+                gone = (
+                    self.winners.read(buckets=wbk)
+                    .join(dirty, on="passage_h", how="semi")
+                    .join(new_winners, on="passage_h", how="left_anti")
+                )
+                win_batch = new_winners.select(
+                    "passage_h", "win_doc", "win_pos",
+                    F.lit(2 * cur + 1).cast("long").alias("seq"),
+                    F.lit("u").alias("op"),
+                ).unionByName(
+                    gone.select(
+                        "passage_h", "win_doc", "win_pos",
+                        F.lit(2 * cur).cast("long").alias("seq"),
+                        F.lit("d").alias("op"),
+                    )
+                )
+                merge_batch(self.winners, win_batch, batch_id=bid,
+                            job_id=self.job_id)
+
+            # -- stage 3: rebuild per-doc rows for AFFECTED docs ------------
+            ch3, pre3, post3 = self._window(src, res_since, cur, key, text_col)
+            pinned.append(ch3)
+            post3 = post3.persist()
+            pinned.append(post3)
+            dirty3 = (
+                self._occurrences(pre3, key).select("passage_h")
+                .unionByName(self._occurrences(post3, key).select("passage_h"))
+                .distinct()
+                .persist()
+            )
+            pinned.append(dirty3)
+            wbk3 = self._buckets(self.winners, dirty3, "passage_h")
+            # winners at the version consistent with src@res_since — the
+            # pinned pre-state even on a retry where stage 2 already ran
+            win_pre_v = _version_after_batch(self.winners, self.job_id,
+                                             res_since)
+            old_w_docs = (
+                self.winners.read(version=win_pre_v, buckets=wbk3)
+                .join(dirty3, on="passage_h", how="semi")
+                .select(F.col("win_doc").alias("doc"))
+            )
+            new_w_docs = (
+                self.winners.read(buckets=wbk3)
+                .join(dirty3, on="passage_h", how="semi")
+                .select(F.col("win_doc").alias("doc"))
+            )
+            affected = (
+                ch3.select(F.col(key).alias("doc"))
+                .unionByName(old_w_docs)
+                .unionByName(new_w_docs)
+                .distinct()
+                .withColumnRenamed("doc", key)
+                .persist()
+            )
+            pinned.append(affected)
+            abk = self._buckets(src, affected, key)
+            docs_a = (
+                src.read(version=cur, buckets=abk)
+                .join(affected, on=key, how="semi")
+                .select(key, F.col(text_col).alias("text"))
+            )
+            occ_a = self._occurrences(docs_a, key)
+            a_pbk = self._buckets(self.winners, occ_a, "passage_h")
+            w = self.winners.read(buckets=a_pbk)
+            kept = occ_a.join(w, on="passage_h", how="left").withColumn(
+                "_kept",
+                (F.col("doc") == F.col("win_doc"))
+                & (F.col("pos") == F.col("win_pos")),
+            )
+            res = kept.groupBy("doc").agg(
+                F.count("*").cast("long").alias("n_passages"),
+                F.coalesce(
+                    F.sum(F.col("_kept").cast("long")), F.lit(0)
+                ).cast("long").alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("_kept"),
+                                       F.struct("pos", "passage"))
+                            )
+                        ),
+                        lambda s: s["passage"],
+                    ),
+                    " ",
+                ).alias("clean_text"),
+            )
+            deleted = ch3.join(
+                post3.select(key), on=key, how="left_anti"
+            ).select(F.col(key).alias("doc"))
+            res_batch = res.select(
+                F.col("doc").alias(key),
+                "n_passages", "n_kept", "clean_text",
+                F.lit(2 * cur + 1).cast("long").alias("seq"),
+                F.lit("u").alias("op"),
+            ).unionByName(
+                deleted.select(
+                    F.col("doc").alias(key),
+                    F.lit(None).cast("long").alias("n_passages"),
+                    F.lit(None).cast("long").alias("n_kept"),
+                    F.lit(None).cast("string").alias("clean_text"),
+                    F.lit(2 * cur).cast("long").alias("seq"),
+                    F.lit("d").alias("op"),
+                )
+            )
+            merge_batch(self.result, res_batch, batch_id=bid,
+                        job_id=self.job_id)
+        finally:
+            for df in pinned:
+                df.unpersist()
+        return MirrorResult(from_version=res_since, to_version=cur)
+
+    def read(self) -> DataFrame:
+        return self.result.read()
