@@ -94,6 +94,7 @@ class GaShapedReportDriver(IntervalDriver):
     #: raw event volume, so the single-partition sort stays tiny.
     page_size: int | None = None
     read_log: list[str] = field(default_factory=list)  # intervals actually read
+    page_log: list[str] = field(default_factory=list)  # "<interval>#p<k>" fetched
 
     def _now(self) -> dt.datetime:
         return dt.datetime.fromisoformat(self.now)
@@ -135,9 +136,12 @@ class GaShapedReportDriver(IntervalDriver):
         upper = dt.datetime.fromisoformat(interval.upper)
         return min(lag, upper).strftime(_SIG_FMT)
 
-    def read_interval_pages(self, spark: SparkSession, interval: TimeInterval):
+    def read_interval_pages(
+        self, spark: SparkSession, interval: TimeInterval, start_page: int = 0
+    ):
         if self.page_size is None:
-            yield self.read_interval(spark, interval)
+            if start_page == 0:
+                yield self.read_interval(spark, interval)
             return
         from pyspark.sql import Window
 
@@ -155,7 +159,10 @@ class GaShapedReportDriver(IntervalDriver):
         )
         n = numbered.count()  # bounded round trip, like the reference's
         # page loop discovering the end of the report
-        for start in range(0, max(n, 1), self.page_size):
+        for k, start in enumerate(range(0, max(n, 1), self.page_size)):
+            if k < start_page:
+                continue  # already spooled by a prior run — not refetched
+            self.page_log.append(f"{interval.id}#p{k}")
             yield numbered.filter(
                 (F.col("_rn") > start) & (F.col("_rn") <= start + self.page_size)
             ).drop("_rn")

@@ -62,14 +62,20 @@ class IntervalDriver:
     ) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
 
-    def read_interval_pages(self, spark: SparkSession, interval: TimeInterval):
+    def read_interval_pages(
+        self, spark: SparkSession, interval: TimeInterval, start_page: int = 0
+    ):
         """Yield the interval's rows as one or more page frames — the
         reference's paginated report loop (google_analytics.go:124
         GetObjectsFor pages through report rows). Drivers whose upstream
         pages responses override this; the sync job unions all pages
         into ONE chunk commit, so pagination never changes the
-        signature/commit semantics. Default: a single page."""
-        yield self.read_interval(spark, interval)
+        signature/commit semantics. ``start_page`` resumes a partially
+        fetched interval (pages before it were already durably spooled by
+        the sync job — the upstream fetches they stand for are NOT
+        repeated). Default: a single page."""
+        if start_page == 0:
+            yield self.read_interval(spark, interval)
 
     def signature(self, interval: TimeInterval) -> str:  # pragma: no cover
         raise NotImplementedError
@@ -96,12 +102,87 @@ class IntervalSyncJob:
         ts_col: str,
         state_path: str,
         job_id: str = "interval-sync",
+        page_spool_dir: str | None = None,
     ):
         self.table = table
         self.driver = driver
         self.ts_col = ts_col
         self.state_path = state_path
         self.job_id = job_id
+        #: when set, page frames are spooled durably as they are fetched
+        #: and a crash mid-interval resumes at the next UNFETCHED page
+        #: (same signature) instead of repeating the upstream page reads —
+        #: the reference GA driver's page loop plus chunked-state resume.
+        #: The interval still lands as ONE atomic overwrite at the end, so
+        #: readers never see a partial interval.
+        self.page_spool_dir = page_spool_dir
+
+    # -- durable page spool (mid-interval resume) ---------------------------
+
+    def _spool_base(self, itv: TimeInterval) -> str:
+        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in itv.id)
+        return os.path.join(self.page_spool_dir, safe)
+
+    def _spool_pages(self, spark: SparkSession, itv: TimeInterval,
+                     sig: str) -> DataFrame:
+        """Fetch the interval's pages from the first one not yet durably
+        spooled, then return one frame over ALL spooled pages. Page
+        progress is only advanced AFTER a page's parquet rename, so every
+        crash window re-fetches at most one page; a signature change
+        discards the spool (the upstream mutated — partial pages of the
+        old report must not mix with new ones)."""
+        import hashlib
+        import shutil
+
+        from pyspark.sql import types as T
+
+        base = self._spool_base(itv)
+        tag = hashlib.md5(sig.encode()).hexdigest()[:12]
+        meta_path = os.path.join(base, "pages.json")
+        meta: dict = {}
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            pass
+        if meta.get("sig") != tag:
+            shutil.rmtree(base, ignore_errors=True)
+            meta = {"sig": tag, "next_page": 0, "schema": None}
+        os.makedirs(base, exist_ok=True)
+        start = int(meta.get("next_page", 0))
+        for k, page in enumerate(
+            self.driver.read_interval_pages(spark, itv, start_page=start),
+            start=start,
+        ):
+            pdir = os.path.join(base, f"p{k:06d}")
+            tmp = pdir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            page.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(pdir, ignore_errors=True)
+            os.rename(tmp, pdir)
+            meta["schema"] = page.schema.json()
+            meta["next_page"] = k + 1
+            with open(meta_path + ".tmp", "w") as f:
+                json.dump(meta, f)
+            os.replace(meta_path + ".tmp", meta_path)
+        pages = sorted(
+            os.path.join(base, d)
+            for d in os.listdir(base)
+            if d.startswith("p") and not d.endswith((".tmp", ".json"))
+        )
+        if meta["schema"] is None or not pages:
+            # a driver that yielded zero pages — fall through to the
+            # unpaged read (nothing was fetched, nothing is saved)
+            return self.driver.read_interval(spark, itv)
+        # explicit schema: an all-empty report writes footer-less page
+        # dirs that schema inference cannot read
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        return spark.read.schema(schema).parquet(*pages)
+
+    def _spool_cleanup(self, itv: TimeInterval) -> None:
+        import shutil
+
+        shutil.rmtree(self._spool_base(itv), ignore_errors=True)
 
     def _load_state(self) -> dict:
         try:
@@ -154,12 +235,15 @@ class IntervalSyncJob:
         def sync_one(itv: TimeInterval, sig: str) -> None:
             from functools import reduce
 
-            pages = list(self.driver.read_interval_pages(spark, itv))
-            df = (
-                pages[0]
-                if len(pages) == 1
-                else reduce(DataFrame.unionByName, pages)
-            )
+            if self.page_spool_dir is not None:
+                df = self._spool_pages(spark, itv, sig)
+            else:
+                pages = list(self.driver.read_interval_pages(spark, itv))
+                df = (
+                    pages[0]
+                    if len(pages) == 1
+                    else reduce(DataFrame.unionByName, pages)
+                )
             if itv.is_all:
                 pred = F.lit(True)
             else:
@@ -184,6 +268,11 @@ class IntervalSyncJob:
                 state[itv.id] = sig
                 self._save_state(state)
                 done.add(itv.id)
+            if self.page_spool_dir is not None:
+                # after the state save: a crash between overwrite and
+                # save re-reads the finished spool (zero refetches) and
+                # dedups on the chunk manifest
+                self._spool_cleanup(itv)
 
         if max_workers <= 1:
             for itv, sig in todo:

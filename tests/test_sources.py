@@ -1534,3 +1534,117 @@ print(json.dumps({"type": "STATE", "value": {"bookmark": 1}}))
     assert set(job.tables) == {"users"}
     rows = job.tables["users"].read().collect()
     assert len(rows) == 1 and rows[0]["name"] == "ann"
+
+
+def test_interval_page_spool_resume(spark, tmpdir_path):
+    """Chunked-state resume INSIDE one interval: with a page spool
+    configured, a crash mid-interval resumes at the first unfetched page
+    (pages already spooled are not re-read from the upstream), the
+    interval still lands as one atomic overwrite, and the final state
+    equals the unpaged sync. A signature change discards the spool."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.sources.ga_driver import GaShapedReportDriver
+    from jitsu_spark.sources.interval_sync import IntervalSyncJob
+
+    src = os.path.join(tmpdir_path, "spool_src")
+    spark.createDataFrame(
+        [(f"t{i % 5}", float(i), dt.datetime(2024, 1, 1, i)) for i in range(20)],
+        "event_type string, value double, ts timestamp",
+    ).write.parquet(src)
+
+    class CrashingDriver(GaShapedReportDriver):
+        crash = True
+
+        def read_interval_pages(self, spark, itv, start_page=0):
+            gen = super().read_interval_pages(spark, itv, start_page)
+            k = start_page
+            while True:
+                if self.crash and itv.id == "UTC_DAY_2024-01-01" and k >= 2:
+                    raise RuntimeError("upstream page fetch died")
+                try:
+                    p = next(gen)
+                except StopIteration:
+                    return
+                yield p
+                k += 1
+
+    def make(cls=GaShapedReportDriver, page_size=2):
+        return cls(
+            source_path=src, ts_col="ts", dimensions=["event_type"],
+            metrics={"sessions": ("count", "*"),
+                     "revenue": ("sum_money", "value")},
+            now="2024-01-03 00:00:00", days_back=3, page_size=page_size,
+        )
+
+    schema = T.StructType([
+        T.StructField("report_id", T.StringType()),
+        T.StructField("report_date", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("sessions", T.LongType()),
+        T.StructField("revenue", T.DecimalType(28, 2)),
+        T.StructField("_time_chunk", T.StringType()),
+        T.StructField("_interval_start", T.TimestampType()),
+        T.StructField("_interval_end", T.TimestampType()),
+    ])
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "spool_tbl"), schema, "report_id",
+        n_buckets=4, properties={"write.stats.column": "report_date"},
+    )
+    state = os.path.join(tmpdir_path, "spool_state.json")
+    spool = os.path.join(tmpdir_path, "pages")
+
+    drv1 = make(CrashingDriver)
+    job1 = IntervalSyncJob(t, drv1, "report_date", state, job_id="ps",
+                           page_spool_dir=spool)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="page fetch died"):
+        job1.run_once(spark)
+    # pages 0 and 1 of the crashed interval are durably spooled
+    assert drv1.page_log.count("UTC_DAY_2024-01-01#p0") == 1
+    assert drv1.page_log.count("UTC_DAY_2024-01-01#p1") == 1
+    assert "UTC_DAY_2024-01-01#p2" not in drv1.page_log
+
+    drv2 = make(CrashingDriver)
+    drv2.crash = False
+    job2 = IntervalSyncJob(t, drv2, "report_date", state, job_id="ps",
+                           page_spool_dir=spool)
+    rep = job2.run_once(spark)
+    assert "UTC_DAY_2024-01-01" in rep.synced
+    # resume fetched ONLY the page the crash lost — p0/p1 came from spool
+    jan1_pages = [p for p in drv2.page_log if p.startswith("UTC_DAY_2024-01-01")]
+    assert jan1_pages == ["UTC_DAY_2024-01-01#p2"]
+    # spool is cleaned after the interval lands
+    assert not os.path.exists(os.path.join(spool, "UTC_DAY_2024-01-01"))
+
+    # final state identical to an unpaged, unspooled sync
+    t2 = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "plain_tbl"), schema, "report_id",
+        n_buckets=4, properties={"write.stats.column": "report_date"},
+    )
+    IntervalSyncJob(
+        t2, make(page_size=None), "report_date",
+        os.path.join(tmpdir_path, "plain_state.json"), job_id="plain",
+    ).run_once(spark)
+    key = lambda r: (r["_time_chunk"], r["event_type"])  # noqa: E731
+    got = {key(r): (r["sessions"], float(r["revenue"]))
+           for r in t.read().collect()}
+    want = {key(r): (r["sessions"], float(r["revenue"]))
+            for r in t2.read().collect()}
+    assert got == want
+
+    # a changed signature discards the spool and refetches from page 0
+    drv3 = make(CrashingDriver)
+    drv3.crash = False
+    job3 = IntervalSyncJob(t, drv3, "report_date", state, job_id="ps",
+                           page_spool_dir=spool)
+    itv = [i for i in drv3.available_intervals()
+           if i.id == "UTC_DAY_2024-01-01"][0]
+    job3._spool_pages(spark, itv, "some-other-signature")
+    assert [p for p in drv3.page_log if p.startswith("UTC_DAY_2024-01-01")] == [
+        f"UTC_DAY_2024-01-01#p{k}" for k in range(3)
+    ]
