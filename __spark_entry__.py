@@ -508,6 +508,19 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM scoring: train an add-one-smoothed bigram
+    model on the corpus itself, then score every document by its total
+    negative log-likelihood. The only float step is the per-bigram
+    round(-ln(p)*1e8) -> BIGINT; all aggregation is exact integers."""
+    from jitsu_spark.text.lm import bigram_model, score_documents
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return score_documents(d, bigram_model(d)).select(
+        "doc_id", "n_bigrams", "sum_nll_e8"
+    )
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test split (md5 uniform, seed 11)."""
     from jitsu_spark.text.split import split_corpus
@@ -1623,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup_ivm": q_passage_dedup_ivm,
         "quality_topk": q_quality_topk,
         "vocab_encode": q_vocab_encode,
+        "lm_score": q_lm_score,
         "corpus_split": q_corpus_split,
         "shard_corpus": q_shard_corpus,
         "cluster_balanced": q_cluster_balanced,
@@ -2061,6 +2075,55 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CASE WHEN pos < 32 THEN CAST(tid AS VARCHAR) END,
                               ',' ORDER BY pos) AS ids_csv
             FROM enc GROUP BY doc_id
+        """,
+        # bigram-LM scoring: add-one-smoothed model trained on the corpus
+        # itself; per-bigram round(-ln(p)*1e8) -> BIGINT, exact integer
+        # sums after that (engine-portable; the float boundary is per
+        # distinct (c2, c1) pair)
+        "lm_score": """
+            WITH ne AS (
+                SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents
+                WHERE text IS NOT NULL AND text <> ''
+            ),
+            bg AS (
+                SELECT doc_id, w[g + 1] AS prev, w[g + 2] AS cur
+                FROM ne, unnest(range(len(w) - 1)) AS i(g)
+                WHERE len(w) >= 2
+            ),
+            c2 AS (
+                SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+                FROM bg GROUP BY prev, cur
+            ),
+            c1 AS (
+                SELECT prev, CAST(count(*) AS BIGINT) AS c1
+                FROM bg GROUP BY prev
+            ),
+            vv AS (
+                SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+                FROM (SELECT unnest(w) AS token FROM ne)
+            ),
+            nll AS (
+                SELECT b.doc_id,
+                       CAST(round(
+                           -ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
+                               / CAST(coalesce(c1.c1, 0) + vv.v AS DOUBLE))
+                           * 100000000.0, 0) AS BIGINT) AS nll_e8
+                FROM bg b
+                LEFT JOIN c2 ON b.prev = c2.prev AND b.cur = c2.cur
+                LEFT JOIN c1 ON b.prev = c1.prev
+                CROSS JOIN vv
+            ),
+            per AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_bigrams,
+                       CAST(sum(nll_e8) AS BIGINT) AS sum_nll_e8
+                FROM nll GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(per.sum_nll_e8, 0) AS BIGINT) AS sum_nll_e8
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         # 90/5/5 split; the 0.95 cutoff is spelled as the exact binary
         # double Python's 0.9 + 0.05 accumulation produces
