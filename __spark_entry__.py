@@ -521,6 +521,24 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (window=64, stride=48, tail-realigned):
+    zero-shuffle sequence/explode/slice projection."""
+    from jitsu_spark.text.chunk import chunk_documents
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, 64, 48)
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document (smoothed idf, integer e6
+    scores, term-ascending tiebreak)."""
+    from jitsu_spark.text.tfidf import tfidf_top_terms
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(d, 5)
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test split (md5 uniform, seed 11)."""
     from jitsu_spark.text.split import split_corpus
@@ -1637,6 +1655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topk": q_quality_topk,
         "vocab_encode": q_vocab_encode,
         "lm_score": q_lm_score,
+        "chunk_documents": q_chunk_documents,
+        "tfidf_topterms": q_tfidf_topterms,
         "corpus_split": q_corpus_split,
         "shard_corpus": q_shard_corpus,
         "cluster_balanced": q_cluster_balanced,
@@ -2124,6 +2144,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                    CAST(coalesce(per.sum_nll_e8, 0) AS BIGINT) AS sum_nll_e8
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        # sliding-window chunking: starts 1, 1+stride, ... with the last
+        # start forced to n-window+1 (tail realignment)
+        "chunk_documents": """
+            WITH ne AS (
+                SELECT doc_id, string_split(text, ' ') AS w,
+                       len(string_split(text, ' ')) AS n
+                FROM documents
+                WHERE text IS NOT NULL AND text <> ''
+            ),
+            s AS (
+                SELECT doc_id, w, n, greatest(n - 64 + 1, 1) AS ls FROM ne
+            ),
+            st AS (
+                SELECT doc_id, w, n,
+                       CASE WHEN (ls - 1) % 48 = 0 THEN range(1, ls + 1, 48)
+                            ELSE list_append(range(1, ls + 1, 48), ls)
+                       END AS starts
+                FROM s
+            )
+            SELECT doc_id,
+                   CAST(g AS BIGINT) AS chunk_no,
+                   CAST(least(64, n - starts[g + 1] + 1) AS BIGINT) AS n_tokens,
+                   array_to_string(
+                       list_slice(w, starts[g + 1], starts[g + 1] + 63), ' '
+                   ) AS chunk_text
+            FROM st, unnest(range(len(starts))) AS i(g)
+        """,
+        # top-5 TF-IDF keywords per doc: smoothed idf ln((1+N)/(1+df))+1,
+        # per-(tf,df,N) round(tf*idf*1e6) -> BIGINT, term-asc tiebreak
+        "tfidf_topterms": """
+            WITH ne AS (
+                SELECT doc_id, text FROM documents
+                WHERE text IS NOT NULL AND text <> ''
+            ),
+            toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM ne
+            ),
+            tf AS (
+                SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, token
+            ),
+            dfq AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY token
+            ),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM ne),
+            scored AS (
+                SELECT tf.doc_id, tf.token,
+                       CAST(round(
+                           tf.tf * (ln(CAST(1 + nn.n_docs AS DOUBLE)
+                                       / CAST(1 + dfq.df AS DOUBLE)) + 1.0)
+                           * 1000000.0, 0) AS BIGINT) AS score_e6
+                FROM tf JOIN dfq USING (token) CROSS JOIN nn
+            ),
+            r AS (
+                SELECT doc_id, token, score_e6,
+                       CAST(row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score_e6 DESC, token ASC
+                       ) AS BIGINT) AS term_rank
+                FROM scored
+            )
+            SELECT doc_id, term_rank, token, score_e6
+            FROM r WHERE term_rank <= 5
         """,
         # 90/5/5 split; the 0.95 cutoff is spelled as the exact binary
         # double Python's 0.9 + 0.05 accumulation produces
