@@ -258,6 +258,9 @@ def main() -> None:
         "repetition_signals": entry.q_repetition_signals,
         "passage_dedup": entry.q_passage_dedup,
         "vocab_encode": entry.q_vocab_encode,
+        "lm_score": entry.q_lm_score,
+        "chunk_documents": entry.q_chunk_documents,
+        "tfidf_topterms": entry.q_tfidf_topterms,
         "simhash": entry.q_simhash,
         "embedding_topk": entry.q_embedding_topk,
         "ann_lsh_topk": entry.q_ann_lsh_topk,

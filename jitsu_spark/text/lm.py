@@ -71,7 +71,10 @@ def bigram_model(
     smoothing ``P(cur|prev) = (c2 + 1) / (c1 + V)``."""
     bg = _bigrams(corpus, id_col, text_col)
     c2 = bg.groupBy("prev", "cur").agg(F.count("*").cast("long").alias("c2"))
-    c1 = bg.groupBy("prev").agg(F.count("*").cast("long").alias("c1"))
+    # context counts roll up from the already-reduced bigram frame
+    # (|distinct bigrams| rows), not the corpus-sized bigram stream —
+    # one less full-corpus shuffle
+    c1 = c2.groupBy("prev").agg(F.sum("c2").cast("long").alias("c1"))
     v = (
         _tokens(corpus, id_col, text_col)
         .agg(F.countDistinct("token").cast("long").alias("v"))

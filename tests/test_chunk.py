@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from jitsu_spark.text.chunk import chunk_documents
 
@@ -86,3 +87,35 @@ def test_rejects_bad_params(spark):
         chunk_documents(docs, 0, 1)
     with pytest.raises(ValueError):
         chunk_documents(docs, 4, 0)
+
+
+def test_chunk_encode_pack_composition(spark):
+    """chunk -> vocab-encode -> pack composes into the training-data
+    shape: disjoint chunks of every doc, encoded against the corpus
+    vocab, packed into fixed-length sequences that tile the chunk-ordered
+    global token stream."""
+    from jitsu_spark.text.packing import pack_tokens
+    from jitsu_spark.text.vocab import build_vocab, encode_documents
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i + j) % 11}" for j in range(50))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, 16, 16).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_no")).alias("cid"),
+        F.col("chunk_text"),
+    )
+    vocab = build_vocab(docs, 64)
+    enc = encode_documents(chunks, vocab, id_col="cid", text_col="chunk_text")
+    packs = pack_tokens(enc, doc_col="cid", tokens_col="token_ids", max_len=32)
+    rows = sorted(packs.collect(), key=lambda r: r["pack_id"])
+    total = sum(r["n_tok"] for r in rows)
+    exp_stream = [
+        t
+        for r in sorted(enc.collect(), key=lambda r: r["cid"])
+        for t in r["token_ids"]
+    ]
+    assert total == len(exp_stream)
+    assert all(r["n_tok"] == 32 for r in rows[:-1])
+    got_stream = [t for r in rows for t in r["tokens"]]
+    assert got_stream == exp_stream

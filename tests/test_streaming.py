@@ -492,3 +492,66 @@ def test_stream_with_inline_text_pipeline_gates(spark, tmpdir_path):
     assert set(rows) == {"a"}  # b deleted, c gated out
     assert rows["a"]["clean_text"] == "updated text with <IP> inside it"
     assert rows["a"]["pii_total"] == 1
+
+
+def test_stream_with_inline_lm_gate(spark, tmpdir_path):
+    """The bigram-LM perplexity gate composes into the streaming data
+    path: a model pre-trained on a static reference corpus scores every
+    incoming document version INSIDE the pre-merge transform (keyed by
+    seq so multiple versions of one doc in a batch score independently);
+    improbable docs are gated out, deletes flow through untouched."""
+    from pyspark.sql import types as T
+
+    from jitsu_spark.text.lm import bigram_model, score_documents
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(20)],
+        "doc_id long, text string",
+    )
+    model = bigram_model(ref)  # V=5; fluent avg_nll ~0.41, unseen 1.609
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+    ])
+    events = [
+        ("a", "zz qq ww ee rr tt", 0, "u"),          # gibberish v0: gated
+        ("a", "the cat sat on the mat", 1, "u"),     # fluent v1: kept
+        ("b", "the cat sat on the mat", 2, "u"),
+        ("c", "qq ww ee rr tt yy uu", 3, "u"),       # gibberish: gated
+        ("b", None, 4, "d"),                         # delete passes gate
+    ]
+    src = os.path.join(tmpdir_path, "log")
+    spark.createDataFrame(events, doc_schema).coalesce(1).write.parquet(src)
+
+    tbl_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("avg_nll", T.DoubleType()),
+    ])
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), tbl_schema, "doc_id", n_buckets=4
+    )
+
+    def lm_gate(df):
+        s = score_documents(df, model, id_col="seq")
+        out = df.join(s.select("seq", "avg_nll"), on="seq", how="left")
+        out = out.filter((F.col("op") == "d") | (F.col("avg_nll") <= 1.0))
+        return out.select("doc_id", "text", "avg_nll", "seq", "op")
+
+    job = CdcStreamJob(
+        table=table,
+        source_dir=src,
+        checkpoint_dir=os.path.join(tmpdir_path, "ckpt"),
+        source_schema=doc_schema,
+        job_id="t-lmgate",
+        transform=lm_gate,
+    )
+    job.run_available_now(spark)
+
+    rows = {r["doc_id"]: r for r in table.read().collect()}
+    assert set(rows) == {"a"}  # b deleted, c gated; a's fluent v1 won
+    assert rows["a"]["text"] == "the cat sat on the mat"
+    assert rows["a"]["avg_nll"] is not None and rows["a"]["avg_nll"] < 1.0

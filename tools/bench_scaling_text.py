@@ -36,6 +36,31 @@ ops = {
     "vocab_encode": entry.q_vocab_encode,
     "repetition_signals": entry.q_repetition_signals,
 }
+def _vocab_encode_join(spark, sf_dir):
+    # the large-V fallback: force the broadcast-join encode path (the one
+    # taken when V > map_literal_max) with a 64k-cap vocab
+    from pyspark.sql import functions as F
+    from jitsu_spark.text.vocab import build_vocab, encode_documents
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text")
+    enc = encode_documents(d, build_vocab(d, 65536), strategy="join")
+    return enc.select(
+        "doc_id", "n_tokens", "n_oov",
+        F.array_join(F.transform(F.slice(F.col("token_ids"), 1, 32),
+                                 lambda x: x.cast("string")), ",").alias("ids_csv"))
+ops["vocab_encode_join"] = _vocab_encode_join
+def _lm_score(spark, sf_dir):
+    from jitsu_spark.text.lm import bigram_model, score_documents
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text")
+    return score_documents(d, bigram_model(d))
+ops["lm_score"] = _lm_score
+def _tfidf(spark, sf_dir):
+    from jitsu_spark.text.tfidf import tfidf_top_terms
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text")
+    return tfidf_top_terms(d, 5)
+ops["tfidf_topterms"] = _tfidf
 sel = os.environ.get("JITSU_TEXT_OPS")
 if sel:
     ops = {k: v for k, v in ops.items() if k in sel.split(",")}
