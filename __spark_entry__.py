@@ -439,6 +439,10 @@ def q_passage_dedup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _scratch("pivm_view"), window=10, n_buckets=16
     )
     m3 = F.col("doc_id") % 3
+    # the bogus-row set is inserted in b1 and deleted in b2 — the two
+    # frames MUST select the identical doc set, so it's a fixed predicate
+    # (limit(20) without an order is not deterministic across evaluations)
+    bogus = (m3 == 0) & (F.col("doc_id") < 60)
     seq_op = lambda s: [F.lit(s).cast("long").alias("seq"), F.lit("u").alias("op")]  # noqa: E731
     b0 = d.filter(m3 == 0).select("doc_id", "text", *seq_op(1))
     b1 = (
@@ -452,7 +456,7 @@ def q_passage_dedup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
-            d.filter(m3 == 0).limit(20).select(
+            d.filter(bogus).select(
                 (F.col("doc_id") + 10_000_000).alias("doc_id"),
                 F.lit("bogus shared boilerplate row").alias("text"),
                 *seq_op(2),
@@ -462,7 +466,7 @@ def q_passage_dedup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = (
         d.filter(m3 == 2).select("doc_id", "text", *seq_op(3))
         .unionByName(
-            d.filter(m3 == 0).limit(20).select(
+            d.filter(bogus).select(
                 (F.col("doc_id") + 10_000_000).alias("doc_id"),
                 F.lit(None).cast("string").alias("text"),
                 F.lit(3).cast("long").alias("seq"),

@@ -47,6 +47,7 @@ instead.
 from __future__ import annotations
 
 import datetime as dt
+import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -135,6 +136,19 @@ class GaShapedReportDriver(IntervalDriver):
         lag = self._now() - dt.timedelta(days=self.lag_days)
         upper = dt.datetime.fromisoformat(interval.upper)
         return min(lag, upper).strftime(_SIG_FMT)
+
+    def layout_signature(self) -> str:
+        # everything that changes which rows land on which page frame
+        return json.dumps(
+            {
+                "page_size": self.page_size,
+                "dimensions": self.dimensions,
+                "metrics": {k: list(v) for k, v in self.metrics.items()},
+                "constants": self.constants,
+                "granularity": self.granularity,
+            },
+            sort_keys=True,
+        )
 
     def read_interval_pages(
         self, spark: SparkSession, interval: TimeInterval, start_page: int = 0

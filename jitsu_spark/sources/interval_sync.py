@@ -80,6 +80,17 @@ class IntervalDriver:
     def signature(self, interval: TimeInterval) -> str:  # pragma: no cover
         raise NotImplementedError
 
+    def layout_signature(self) -> str:
+        """Identity of the report/pagination LAYOUT (page size, requested
+        dimensions/metrics, granularity — anything that changes how the
+        same upstream data is sliced into page frames). The page spool
+        binds this alongside the interval signature, so a config change
+        between a crash and its resume discards half-fetched pages
+        instead of silently mixing two pagination layouts. Time-based
+        signatures alone cannot see a config edit. Default: empty
+        (driver has a single fixed layout)."""
+        return ""
+
 
 @dataclass
 class SyncReport:
@@ -120,8 +131,16 @@ class IntervalSyncJob:
     # -- durable page spool (mid-interval resume) ---------------------------
 
     def _spool_base(self, itv: TimeInterval) -> str:
-        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in itv.id)
-        return os.path.join(self.page_spool_dir, safe)
+        # namespaced by job_id: two sync jobs sharing one page_spool_dir
+        # (e.g. a GA report and an FB report, both DAY granularity) must
+        # never serve each other's spooled frames even when their interval
+        # ids and timestamp signatures coincide
+        def _safe(s: str) -> str:
+            return "".join(c if c.isalnum() or c in "-_." else "_" for c in s)
+
+        return os.path.join(
+            self.page_spool_dir, _safe(self.job_id), _safe(itv.id)
+        )
 
     def _spool_pages(self, spark: SparkSession, itv: TimeInterval,
                      sig: str) -> DataFrame:
@@ -137,7 +156,13 @@ class IntervalSyncJob:
         from pyspark.sql import types as T
 
         base = self._spool_base(itv)
-        tag = hashlib.md5(sig.encode()).hexdigest()[:12]
+        # the spool tag binds the layout signature TOO: a page_size /
+        # report-config change between crash and resume must discard the
+        # spool (old-layout pages 0..k-1 + new-layout pages k.. would
+        # silently drop or duplicate rows)
+        tag = hashlib.md5(
+            (sig + "\x00" + self.driver.layout_signature()).encode()
+        ).hexdigest()[:12]
         meta_path = os.path.join(base, "pages.json")
         meta: dict = {}
         try:

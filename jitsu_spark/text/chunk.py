@@ -36,6 +36,10 @@ def chunk_documents(
     0-based rank of the start offset."""
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
+    if stride > window:
+        # stride > window would skip tokens between consecutive chunks,
+        # silently breaking the every-token-covered contract above
+        raise ValueError("stride must be <= window (gapless coverage)")
     w = F.split(F.col(text_col), " ")
     n = F.size(w)
     last_start = F.greatest(n - F.lit(window) + 1, F.lit(1))

@@ -34,29 +34,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, token) for every token of every non-empty document."""
-    return (
-        df.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
-        .select(
-            F.col(id_col),
-            F.explode(F.split(F.col(text_col), " ")).alias("token"),
-        )
-    )
+from jitsu_spark.text.tokenize import doc_tokens as _tokens
+from jitsu_spark.text.tokenize import non_empty, split_tokens
 
 
 def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, prev, cur) for consecutive token pairs; docs with < 2 tokens
     contribute nothing. arrays_zip of two shifted slices — a narrow
     projection, no join/window."""
-    w = F.split(F.col(text_col), " ")
+    w = split_tokens(text_col)
     n = F.size(w)
     pairs = F.arrays_zip(
         F.slice(w, 1, n - 1).alias("prev"), F.slice(w, 2, n - 1).alias("cur")
     )
     return (
-        df.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
+        non_empty(df, text_col)
         .filter(n >= 2)
         .select(F.col(id_col), F.explode(pairs).alias("_p"))
         .select(id_col, F.col("_p.prev").alias("prev"), F.col("_p.cur").alias("cur"))

@@ -66,6 +66,14 @@ from jitsu_spark.text.passages import explode_passages
 
 SEP = "#"  # never appears inside an md5 hex prefix
 
+#: table property on ``result`` holding the passage window the index was
+#: built with — a STRUCTURAL parameter of the persisted state (occurrence
+#: keys embed window-sized passages), so it must travel with the tables,
+#: never be re-supplied by the caller: loading with a different window
+#: would compute retraction keys that match nothing and silently corrupt
+#: the index.
+WINDOW_PROP = "passage_ivm.window"
+
 
 def _version_after_batch(table: LakeTable, job_id: str, upstream_v: int) -> int:
     """The version of ``table`` just AFTER batch ``v<upstream_v>`` was
@@ -154,18 +162,26 @@ class PassageDedupView:
             ),
             key_field,
             n_buckets=n_buckets,
-            properties=dict(mor),
+            properties={**mor, WINDOW_PROP: str(window)},
         )
         return PassageDedupView(occ, winners, result, window, job_id)
 
     @staticmethod
-    def load(spark: SparkSession, root: str, window: int = 10,
+    def load(spark: SparkSession, root: str,
              job_id: str = "passage-ivm") -> "PassageDedupView":
+        result = LakeTable.load(spark, os.path.join(root, "result"))
+        stored = result.snapshot().properties.get(WINDOW_PROP)
+        if stored is None:
+            raise ValueError(
+                f"{result.root} lacks the {WINDOW_PROP!r} property — not a "
+                "PassageDedupView state dir (or created before it was "
+                "recorded)"
+            )
         return PassageDedupView(
             LakeTable.load(spark, os.path.join(root, "occ")),
             LakeTable.load(spark, os.path.join(root, "winners")),
-            LakeTable.load(spark, os.path.join(root, "result")),
-            window,
+            result,
+            int(stored),
             job_id,
         )
 
@@ -232,19 +248,58 @@ class PassageDedupView:
         bid = f"v{cur}"
         key = src.snapshot().key_field
         pinned: list[DataFrame] = []
+        # per-sync memo of the (window, occurrence, dirty-passage) frames
+        # keyed by the stage's cursor: in the steady no-crash path all
+        # three cursors coincide, so the changes() scan, the pre/post
+        # bucket-pruned reads, and the occurrence explosions are computed
+        # and persisted ONCE and shared by every stage (the per-stage
+        # windows still exist for the crash-retry path, where cursors
+        # differ and each lo gets its own entry).
+        win_cache: dict[int, tuple] = {}
+        occ_cache: dict[int, tuple] = {}
+        dirty_cache: dict[int, DataFrame] = {}
+
+        def get_window(lo: int):
+            if lo not in win_cache:
+                ch, pre, post = self._window(src, lo, cur, key, text_col)
+                post = post.persist()
+                pinned.extend([ch, post])
+                win_cache[lo] = (ch, pre, post)
+            return win_cache[lo]
+
+        def get_occ(lo: int):
+            if lo not in occ_cache:
+                _, pre, post = get_window(lo)
+                op = self._occurrences(pre, key).persist()
+                on = self._occurrences(post, key).persist()
+                pinned.extend([op, on])
+                occ_cache[lo] = (op, on)
+            return occ_cache[lo]
+
+        def get_dirty(lo: int) -> DataFrame:
+            if lo not in dirty_cache:
+                op, on = get_occ(lo)
+                d = (
+                    op.select("passage_h")
+                    .unionByName(on.select("passage_h"))
+                    .distinct()
+                    .persist()
+                )
+                pinned.append(d)
+                dirty_cache[lo] = d
+            return dirty_cache[lo]
+
         try:
             # -- stage 1: occurrence index retract/assert — O(changed) ------
             occ_since = last_synced_version(self.occ, self.job_id)
             if occ_since < cur:
-                ch1, pre1, post1 = self._window(src, occ_since, cur, key,
-                                                text_col)
-                pinned.append(ch1)
-                occ_batch = self._occurrences(pre1, key).select(
+                op1, on1 = get_occ(occ_since)
+                occ_batch = op1.select(
                     "k", "passage_h", "doc", "pos", "passage",
                     F.lit(2 * cur).cast("long").alias("seq"),
                     F.lit("d").alias("op"),
                 ).unionByName(
-                    self._occurrences(post1, key).select(
+                    on1.select(
                         "k", "passage_h", "doc", "pos", "passage",
                         F.lit(2 * cur + 1).cast("long").alias("seq"),
                         F.lit("u").alias("op"),
@@ -256,18 +311,7 @@ class PassageDedupView:
             # -- stage 2: winner recompute for DIRTY passages only ----------
             win_since = last_synced_version(self.winners, self.job_id)
             if win_since < cur:
-                ch2, pre2, post2 = self._window(src, win_since, cur, key,
-                                                text_col)
-                pinned.append(ch2)
-                dirty = (
-                    self._occurrences(pre2, key).select("passage_h")
-                    .unionByName(
-                        self._occurrences(post2, key).select("passage_h")
-                    )
-                    .distinct()
-                    .persist()
-                )
-                pinned.append(dirty)
+                dirty = get_dirty(win_since)
                 # occ is now consistent with src@cur; prefix bucketing makes
                 # the dirty-passage read exact and pruned
                 pbk = self._buckets(self.occ, dirty, "passage_h")
@@ -307,17 +351,8 @@ class PassageDedupView:
                             job_id=self.job_id)
 
             # -- stage 3: rebuild per-doc rows for AFFECTED docs ------------
-            ch3, pre3, post3 = self._window(src, res_since, cur, key, text_col)
-            pinned.append(ch3)
-            post3 = post3.persist()
-            pinned.append(post3)
-            dirty3 = (
-                self._occurrences(pre3, key).select("passage_h")
-                .unionByName(self._occurrences(post3, key).select("passage_h"))
-                .distinct()
-                .persist()
-            )
-            pinned.append(dirty3)
+            ch3, _, post3 = get_window(res_since)
+            dirty3 = get_dirty(res_since)
             wbk3 = self._buckets(self.winners, dirty3, "passage_h")
             # winners at the version consistent with src@res_since — the
             # pinned pre-state even on a retry where stage 2 already ran

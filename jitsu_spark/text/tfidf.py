@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from jitsu_spark.text.tokenize import doc_tokens, non_empty
+
 
 def tfidf_top_terms(
     docs: DataFrame,
@@ -37,20 +39,13 @@ def tfidf_top_terms(
     empty/NULL documents yield none."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    toks = (
-        docs.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
-        .select(
-            F.col(id_col),
-            F.explode(F.split(F.col(text_col), " ")).alias("token"),
-        )
-    )
+    toks = doc_tokens(docs, id_col, text_col)
     tf = toks.groupBy(id_col, "token").agg(
         F.count("*").cast("long").alias("tf")
     )
     df_ = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
-    n = (
-        docs.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
-        .agg(F.count("*").cast("long").alias("n_docs"))
+    n = non_empty(docs, text_col).agg(
+        F.count("*").cast("long").alias("n_docs")
     )
     scored = (
         tf.join(df_, on="token")

@@ -119,3 +119,12 @@ def test_chunk_encode_pack_composition(spark):
     assert all(r["n_tok"] == 32 for r in rows[:-1])
     got_stream = [t for r in rows for t in r["tokens"]]
     assert got_stream == exp_stream
+
+
+def test_rejects_stride_gt_window(spark):
+    """stride > window would leave tokens uncovered between consecutive
+    chunks — refused rather than silently violating the coverage
+    contract."""
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="gapless"):
+        chunk_documents(docs, 4, 5)

@@ -247,3 +247,34 @@ def test_ivm_retry_after_partial_crash(spark, tmpdir_path):
         (r["doc"], r["passage"]) for r in view.occ.read().collect()
     }
     assert (2, BODY[2]) not in occ_p and (2, BODY[3]) not in occ_p
+
+
+def test_view_load_reads_persisted_window(spark, tmpdir_path):
+    """The passage window is a STRUCTURAL parameter of the persisted
+    state (occurrence keys embed window-sized passages), so load() reads
+    it from the table properties instead of trusting the caller — a
+    mismatched window would compute retraction keys that match nothing
+    and silently corrupt the index."""
+    src = _mk_src(spark, os.path.join(tmpdir_path, "up"))
+    root = os.path.join(tmpdir_path, "view")
+    view = PassageDedupView.create(spark, root, window=W, n_buckets=8)
+    _apply(src, spark, [
+        (1, f"{HEADER} {BODY[0]}", "u"),
+        (2, f"{HEADER} {BODY[1]}", "u"),
+    ], 100)
+    view.sync(src)
+
+    loaded = PassageDedupView.load(spark, root)
+    assert loaded.window == W
+    _apply(src, spark, [(1, None, "d"), (3, f"{HEADER} {BODY[2]}", "u")], 200)
+    loaded.sync(src)
+    assert _actual(loaded) == _expected(src)
+
+
+def test_view_load_rejects_non_view_dir(spark, tmpdir_path):
+    root = os.path.join(tmpdir_path, "notview")
+    LakeTable.create(
+        spark, os.path.join(root, "result"), DOC_SCHEMA, "doc_id"
+    )
+    with pytest.raises(ValueError, match="passage_ivm.window"):
+        PassageDedupView.load(spark, root)

@@ -1618,8 +1618,8 @@ def test_interval_page_spool_resume(spark, tmpdir_path):
     # resume fetched ONLY the page the crash lost — p0/p1 came from spool
     jan1_pages = [p for p in drv2.page_log if p.startswith("UTC_DAY_2024-01-01")]
     assert jan1_pages == ["UTC_DAY_2024-01-01#p2"]
-    # spool is cleaned after the interval lands
-    assert not os.path.exists(os.path.join(spool, "UTC_DAY_2024-01-01"))
+    # spool is cleaned after the interval lands (job-namespaced path)
+    assert not os.path.exists(os.path.join(spool, "ps", "UTC_DAY_2024-01-01"))
 
     # final state identical to an unpaged, unspooled sync
     t2 = LakeTable.create(
@@ -1648,3 +1648,77 @@ def test_interval_page_spool_resume(spark, tmpdir_path):
     assert [p for p in drv3.page_log if p.startswith("UTC_DAY_2024-01-01")] == [
         f"UTC_DAY_2024-01-01#p{k}" for k in range(3)
     ]
+
+
+def test_interval_page_spool_layout_and_job_isolation(spark, tmpdir_path):
+    """The spool tag binds the driver's LAYOUT signature (a page_size /
+    report-config change between crash and resume discards the spool —
+    old- and new-layout pages must never mix), and the spool base is
+    namespaced by job_id (two jobs sharing a spool dir never serve each
+    other's frames even with identical interval ids and signatures)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.sources.ga_driver import GaShapedReportDriver
+    from jitsu_spark.sources.interval_sync import IntervalSyncJob
+
+    src = os.path.join(tmpdir_path, "lay_src")
+    spark.createDataFrame(
+        [(f"t{i % 5}", float(i), dt.datetime(2024, 1, 1, i)) for i in range(20)],
+        "event_type string, value double, ts timestamp",
+    ).write.parquet(src)
+
+    def make(page_size):
+        return GaShapedReportDriver(
+            source_path=src, ts_col="ts", dimensions=["event_type"],
+            metrics={"sessions": ("count", "*")},
+            now="2024-01-03 00:00:00", days_back=3, page_size=page_size,
+        )
+
+    schema = T.StructType([
+        T.StructField("report_id", T.StringType()),
+        T.StructField("report_date", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("sessions", T.LongType()),
+        T.StructField("_time_chunk", T.StringType()),
+        T.StructField("_interval_start", T.TimestampType()),
+        T.StructField("_interval_end", T.TimestampType()),
+    ])
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "lay_tbl"), schema, "report_id",
+        n_buckets=4,
+    )
+    spool = os.path.join(tmpdir_path, "lay_pages")
+    state = os.path.join(tmpdir_path, "lay_state.json")
+
+    drv_a = make(page_size=2)
+    itv = [i for i in drv_a.available_intervals()
+           if i.id == "UTC_DAY_2024-01-01"][0]
+    sig = drv_a.signature(itv)
+    job_a = IntervalSyncJob(t, drv_a, "report_date", state, job_id="lj",
+                            page_spool_dir=spool)
+    job_a._spool_pages(spark, itv, sig)  # 5 report rows / 2 per page = 3
+    assert len(drv_a.page_log) == 3
+
+    # same job + signature but page_size 2 -> 3: the spool is discarded
+    # and refetched under the new layout (2 pages), never mixed
+    drv_b = make(page_size=3)
+    job_b = IntervalSyncJob(t, drv_b, "report_date", state, job_id="lj",
+                            page_spool_dir=spool)
+    frame_b = job_b._spool_pages(spark, itv, sig)
+    assert [p for p in drv_b.page_log] == [
+        "UTC_DAY_2024-01-01#p0", "UTC_DAY_2024-01-01#p1"
+    ]
+    got = {(r["event_type"], r["sessions"]) for r in frame_b.collect()}
+    want = {(r["event_type"], r["sessions"])
+            for r in drv_b.read_interval(spark, itv).collect()}
+    assert got == want  # no dropped or duplicated rows
+
+    # a different job_id sharing the spool dir fetches its OWN pages
+    drv_c = make(page_size=2)
+    job_c = IntervalSyncJob(t, drv_c, "report_date", state, job_id="other",
+                            page_spool_dir=spool)
+    job_c._spool_pages(spark, itv, sig)
+    assert len(drv_c.page_log) == 3  # nothing served from job lj's spool
