@@ -438,10 +438,22 @@ def q_passage_dedup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = PassageDedupView.create(
         spark, _scratch("pivm_view"), window=10, n_buckets=16
     )
+    for i, b in enumerate(_doc_cdc_batches(d)):
+        merge_batch(up, b, batch_id=i, job_id="pivm")
+        view.sync(up)
+    return view.read().select("doc_id", "n_passages", "n_kept", "clean_text")
+
+
+def _doc_cdc_batches(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The IVM gate queries' shared 3-batch CDC history over the
+    documents table: b0 inserts the doc_id%3==0 docs; b1 inserts %3==1,
+    CORRUPTS %3==2, and inserts bogus docs; b2 restores %3==2 and deletes
+    the bogus docs. Final upstream state == the original documents table,
+    so every incremental view's oracle is a plain full recompute. The
+    bogus set is a fixed predicate — inserted in b1 and deleted in b2,
+    the two frames MUST select the identical docs (limit(N) without an
+    order is not deterministic across evaluations)."""
     m3 = F.col("doc_id") % 3
-    # the bogus-row set is inserted in b1 and deleted in b2 — the two
-    # frames MUST select the identical doc set, so it's a fixed predicate
-    # (limit(20) without an order is not deterministic across evaluations)
     bogus = (m3 == 0) & (F.col("doc_id") < 60)
     seq_op = lambda s: [F.lit(s).cast("long").alias("seq"), F.lit("u").alias("op")]  # noqa: E731
     b0 = d.filter(m3 == 0).select("doc_id", "text", *seq_op(1))
@@ -474,10 +486,82 @@ def q_passage_dedup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    for i, b in enumerate((b0, b1, b2)):
-        merge_batch(up, b, batch_id=i, job_id="pivm")
-        view.sync(up)
-    return view.read().select("doc_id", "n_passages", "n_kept", "clean_text")
+    return b0, b1, b2
+
+
+def q_term_stats_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics (df, tf, N -> smoothed idf) maintained
+    INCREMENTALLY from changes() (text/term_stats.py over the generalized
+    sync_aggregate row_transform): the documents table replays as the
+    3-batch CDC history and the stats tables sync after every merge —
+    post-minus-pre signed aggregation of just the changed docs' token
+    rows, bucket-pruned on both ends, O(change) not O(corpus). Final
+    stats must equal a full recompute over the documents table."""
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+    from jitsu_spark.text.term_stats import (
+        create_corpus_stats,
+        idf_frame,
+        sync_corpus_stats,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    up = LakeTable.create(
+        spark,
+        _scratch("tstats_up"),
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+        "doc_id",
+        n_buckets=16,
+        properties={"write.mode": "mor"},
+    )
+    tables = create_corpus_stats(
+        spark, _scratch("tstats_view"), n_buckets=16, with_bigrams=False
+    )
+    for i, b in enumerate(_doc_cdc_batches(d)):
+        merge_batch(up, b, batch_id=i, job_id="tstats")
+        sync_corpus_stats(up, tables)
+    return idf_frame(tables["stats"], tables["meta"])
+
+
+def q_lm_counts_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM count table maintained INCREMENTALLY from changes() —
+    the trainable-model analogue of term_stats_ivm: the corpus LM's
+    count state stays continuously fresh as documents are inserted,
+    corrected, and deleted, with per-sync work proportional to the
+    change. Final counts must equal counts trained from scratch on the
+    final corpus (bigram_model_from_stats reconstructs the scoring
+    model losslessly — asserted in tests)."""
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+    from jitsu_spark.text.term_stats import (
+        create_corpus_stats,
+        sync_corpus_stats,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    up = LakeTable.create(
+        spark,
+        _scratch("lmc_up"),
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+        "doc_id",
+        n_buckets=16,
+        properties={"write.mode": "mor"},
+    )
+    tables = create_corpus_stats(spark, _scratch("lmc_view"), n_buckets=16)
+    for i, b in enumerate(_doc_cdc_batches(d)):
+        merge_batch(up, b, batch_id=i, job_id="lmc")
+        sync_corpus_stats(up, tables)
+    return tables["bigrams"].read().select("bigram", "c")
 
 
 def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1656,6 +1740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "passage_dedup": q_passage_dedup,
         "passage_dedup_ivm": q_passage_dedup_ivm,
+        "term_stats_ivm": q_term_stats_ivm,
+        "lm_counts_ivm": q_lm_counts_ivm,
         "quality_topk": q_quality_topk,
         "vocab_encode": q_vocab_encode,
         "lm_score": q_lm_score,
@@ -2909,6 +2995,48 @@ def oracle_sql() -> dict[str, str]:
     # incremental maintenance == full recompute: the changes()-fed
     # passage-dedup view must converge to exactly the batch answer
     out["passage_dedup_ivm"] = out["passage_dedup"]
+    # incrementally maintained df/tf/N + smoothed idf == full recompute
+    # over the final corpus (the 3-batch CDC history restores the
+    # original documents table)
+    out["term_stats_ivm"] = """
+        WITH ne AS (
+            SELECT doc_id, text FROM documents
+            WHERE text IS NOT NULL AND text <> ''
+        ),
+        tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM ne
+        ),
+        tfq AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, token
+        ),
+        st AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS tf
+            FROM tfq GROUP BY token
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM ne)
+        SELECT token, df, tf,
+               CAST(round((ln((1 + n_docs) / (1 + df)) + 1) * 1000000.0, 0)
+                    AS BIGINT) AS idf_e6
+        FROM st CROSS JOIN n
+    """
+    # incrementally maintained bigram-LM counts == counts trained from
+    # scratch on the final corpus
+    out["lm_counts_ivm"] = """
+        WITH ne AS (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents
+            WHERE text IS NOT NULL AND text <> ''
+        ),
+        bg AS (
+            SELECT w[g + 1] AS prev, w[g + 2] AS cur
+            FROM ne, unnest(range(len(w) - 1)) AS i(g)
+            WHERE len(w) >= 2
+        )
+        SELECT prev || ' ' || cur AS bigram, CAST(count(*) AS BIGINT) AS c
+        FROM bg GROUP BY prev, cur
+    """
     # state invariance: a mid-replay bucket resize must not change the
     # final LWW state, so the rebucket replay answers the SAME oracle as
     # the plain replay

@@ -83,6 +83,7 @@ def sync_aggregate(
     sum_cols: list[str] | None = None,
     count_col: str = "n_rows",
     job_id: str = "aggmirror",
+    row_transform=None,
 ) -> MirrorResult:
     """Incrementally maintain a downstream AGGREGATE table
     (``group_col -> count + sums``) from an upstream MoR table's
@@ -105,7 +106,17 @@ def sync_aggregate(
     Every scan is bucket-pruned to the touched keys/groups — O(changed),
     not O(table), on both ends. Requires ``dst`` keyed by ``group_col``
     with a ``count_col`` LongType column plus one column per entry of
-    ``sum_cols`` (same names as upstream, summed)."""
+    ``sum_cols`` (same names as upstream, summed).
+
+    ``row_transform`` optionally DERIVES the rows being aggregated from
+    the upstream rows (applied identically to the pre- and post-image
+    frames): a 1->N per-row expansion such as exploding a document into
+    its tokens or bigrams. The maintained invariant becomes ``dst ==
+    row_transform(full table).groupBy(group_col).agg(count, sums)``.
+    The transform MUST be per-upstream-row independent (each output row
+    derives from exactly one input row — per-key groupBys like a
+    per-document term frequency are fine, cross-key aggregation is not),
+    because it only ever sees the changed keys' images."""
     sum_cols = sum_cols or []
     since = last_synced_version(dst, job_id)
     cur = src.snapshot().version
@@ -123,16 +134,17 @@ def sync_aggregate(
         .collect()
     )
     cols = [group_col, *sum_cols]
-    pre = (
-        src.read(version=since, buckets=dirty_buckets)
-        .join(changed, on=key, how="semi")
-        .select(*cols, F.lit(-1).alias("_sign"))
-    )
-    post = (
-        src.read(version=cur, buckets=dirty_buckets)
-        .join(changed, on=key, how="semi")
-        .select(*cols, F.lit(1).alias("_sign"))
-    )
+
+    def _image(version: int, sign: int) -> DataFrame:
+        img = src.read(version=version, buckets=dirty_buckets).join(
+            changed, on=key, how="semi"
+        )
+        if row_transform is not None:
+            img = row_transform(img)
+        return img.select(*cols, F.lit(sign).alias("_sign"))
+
+    pre = _image(since, -1)
+    post = _image(cur, 1)
     # persisted: one row per dirty group; consumed by the dst-bucket
     # collect and the adjustment join
     delta = (
