@@ -489,6 +489,46 @@ def _doc_cdc_batches(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     return b0, b1, b2
 
 
+def q_lsh_index_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH band index maintained INCREMENTALLY from changes()
+    (dedup/lsh_index.py over sync_derived_rows: pre-image band rows
+    retract, post-image band rows assert, bucket-pruned O(change) per
+    sync; band hashes co-locate via prefix bucketing so probes prune to
+    their own buckets). After the 3-batch CDC history the index's full
+    candidate-pair emission must equal the batch lsh_candidate_pairs
+    over the final corpus — SAME oracle as lsh_candidates."""
+    from jitsu_spark.dedup.lsh_index import (
+        create_lsh_index,
+        index_pairs,
+        sync_lsh_index,
+    )
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    up = LakeTable.create(
+        spark,
+        _scratch("lshix_up"),
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+        "doc_id",
+        n_buckets=16,
+        properties={"write.mode": "mor"},
+    )
+    index = create_lsh_index(
+        spark, _scratch("lshix_view"), k=8, bands=4, shingle_n=3,
+        n_buckets=16,
+    )
+    for i, b in enumerate(_doc_cdc_batches(d)):
+        merge_batch(up, b, batch_id=i, job_id="lshix")
+        sync_lsh_index(up, index)
+    return index_pairs(index)
+
+
 def q_term_stats_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term statistics (df, tf, N -> smoothed idf) maintained
     INCREMENTALLY from changes() (text/term_stats.py over the generalized
@@ -1742,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup_ivm": q_passage_dedup_ivm,
         "term_stats_ivm": q_term_stats_ivm,
         "lm_counts_ivm": q_lm_counts_ivm,
+        "lsh_index_ivm": q_lsh_index_ivm,
         "quality_topk": q_quality_topk,
         "vocab_encode": q_vocab_encode,
         "lm_score": q_lm_score,
@@ -3037,6 +3078,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT prev || ' ' || cur AS bigram, CAST(count(*) AS BIGINT) AS c
         FROM bg GROUP BY prev, cur
     """
+    # the incrementally maintained LSH band index's candidate-pair
+    # emission == the batch LSH over the final corpus (the 3-batch CDC
+    # history restores the original documents table) — SAME oracle
+    out["lsh_index_ivm"] = out["lsh_candidates"]
     # state invariance: a mid-replay bucket resize must not change the
     # final LWW state, so the rebucket replay answers the SAME oracle as
     # the plain replay

@@ -82,6 +82,41 @@ def minhash_signature(
     return out.drop(tmp)
 
 
+def band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """(id, band_no, bh) — each document's LSH band hashes, stacked: bands
+    of r = k/bands minhashes are concatenated and md5'd, then exploded so
+    one equi-join (or one index table) serves all bands. The shared
+    banding for both the batch candidate join and the incremental index
+    (dedup/lsh_index.py) — one definition, identical collisions."""
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    r = k // bands
+    sig = minhash_signature(df.select(id_col, text_col), text_col, k, shingle_n)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    return banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("b"),
+    ).select(id_col, F.col("b.band_no").cast("long").alias("band_no"), "b.bh")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -109,27 +144,7 @@ def lsh_candidate_pairs(
     node whenever the cap empties a branch — precisely the degenerate
     corpus the guard exists for — so the metric silently vanishes.)
     """
-    if k % bands:
-        raise ValueError("k must be divisible by bands")
-    r = k // bands
-    sig = minhash_signature(df.select(id_col, text_col), text_col, k, shingle_n)
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    # stack bands -> (id, band_no, band_hash); one join instead of `bands` joins
-    stacked = banded.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("bh"))
-                for b in range(bands)
-            ])
-        ).alias("b"),
-    ).select(id_col, "b.band_no", "b.bh")
+    stacked = band_rows(df, id_col, text_col, k, bands, shingle_n)
     if max_bucket_size is not None:
         # one window pass sized per (band_no, bh); its shuffle partitioning
         # is the same key the self-join needs, so Catalyst reuses the

@@ -76,6 +76,62 @@ def sync_mirror(
     return MirrorResult(from_version=since, to_version=cur)
 
 
+def sync_derived_rows(
+    src: LakeTable,
+    dst: LakeTable,
+    derive,
+    job_id: str = "derived",
+) -> MirrorResult:
+    """Incrementally maintain ``dst == derive(full src table)`` where
+    ``derive`` maps upstream rows to derived rows 1->N (an inverted
+    index: a document's passages, LSH bands, n-grams, ...). Each derived
+    row must carry ``dst``'s key, UNIQUE per derived row and embedding
+    the upstream key — that makes retraction exact: per sync window the
+    batch is ``derive(pre-image of changed docs)`` as deletes (even seq)
+    unioned with ``derive(post-image)`` as upserts (odd seq; LWW keeps
+    the upsert for keys on both sides, i.e. the unchanged part of an
+    updated document). Reads are bucket-pruned to the changed docs;
+    exactly-once via the destination's own manifest cursor, like every
+    other sync in this module. ``derive`` must be per-upstream-row
+    independent (each derived row from exactly one doc)."""
+    since = last_synced_version(dst, job_id)
+    cur = src.snapshot().version
+    if cur <= since:
+        return MirrorResult(from_version=since, to_version=since, skipped=True)
+    key = src.snapshot().key_field
+    ch = src.changes(since_version=since, to_version=cur)
+    changed = ch.select(key).distinct().persist()
+    try:
+        dirty_buckets = sorted(
+            r["b"]
+            for r in changed.select(src.bucket_expr(F.col(key)).alias("b"))
+            .distinct()
+            .collect()
+        )
+        pre = src.read(version=since, buckets=dirty_buckets).join(
+            changed, on=key, how="semi"
+        )
+        post = src.read(version=cur, buckets=dirty_buckets).join(
+            changed, on=key, how="semi"
+        )
+        out_cols = dst.schema().fieldNames()
+        batch = derive(pre).select(
+            *out_cols,
+            F.lit(2 * cur).cast("long").alias("seq"),
+            F.lit("d").alias("op"),
+        ).unionByName(
+            derive(post).select(
+                *out_cols,
+                F.lit(2 * cur + 1).cast("long").alias("seq"),
+                F.lit("u").alias("op"),
+            )
+        )
+        merge_batch(dst, batch, batch_id=f"v{cur}", job_id=job_id)
+    finally:
+        changed.unpersist()
+    return MirrorResult(from_version=since, to_version=cur)
+
+
 def sync_aggregate(
     src: LakeTable,
     dst: LakeTable,

@@ -206,3 +206,56 @@ def test_bigram_model_from_stats_equals_fresh_model(spark, tmpdir_path):
         ).collect()
     }
     assert ivm == fresh
+
+
+def test_cdc_stream_keeps_corpus_stats_fresh(spark, tmpdir_path):
+    """End-to-end streaming composition: the corpus statistics tables
+    (df/tf, N, bigram counts) sync through post_commit after every
+    applied micro-batch, so the idf/LM model state is continuously fresh
+    as the document stream lands; checkpoint redelivery leaves every
+    table untouched."""
+    from jitsu_spark.streaming import CdcStreamJob
+
+    log_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+    ])
+    src_dir = os.path.join(tmpdir_path, "log")
+    b1 = [(1, "the cat sat", 0, "u"), (2, "the dog sat", 1, "u"),
+          (3, "", 2, "u")]
+    b2 = [(1, "a cat stood up", 3, "u"), (2, None, 4, "d"),
+          (5, "the end", 5, "u")]
+    for b in (b1, b2):
+        spark.createDataFrame(b, log_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), DOC_SCHEMA, "doc_id",
+        n_buckets=4, properties={"write.mode": "mor"},
+    )
+    tables = create_corpus_stats(
+        spark, os.path.join(tmpdir_path, "stats"), n_buckets=4
+    )
+
+    def make_job():
+        return CdcStreamJob(
+            table=table,
+            source_dir=src_dir,
+            checkpoint_dir=os.path.join(tmpdir_path, "ckpt"),
+            source_schema=log_schema,
+            max_files_per_trigger=1,
+            job_id="doc-stream",
+            post_commit=lambda bid: sync_corpus_stats(table, tables),
+        )
+
+    make_job().run_available_now(spark)
+    assert _actual(tables) == _expected(table)
+    versions = [t.snapshot().version for t in tables.values()]
+
+    # redelivery: merges skip via manifest, stats tables untouched
+    make_job().run_available_now(spark)
+    assert [t.snapshot().version for t in tables.values()] == versions
+    assert _actual(tables) == _expected(table)
