@@ -529,6 +529,88 @@ def q_lsh_index_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_pairs(index)
 
 
+def q_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index's PROBE path — the 100 TB question ("which existing docs
+    are these new ones near-dups of?") answered by hashing only the probe
+    docs and reading only the index buckets their band hashes co-locate
+    in (prefix bucketing makes the prune exact). Probes = the %7==0
+    docs; oracle = the full band join restricted to them (self-matches
+    included by contract)."""
+    from jitsu_spark.dedup.lsh_index import (
+        create_lsh_index,
+        probe_lsh_index,
+        sync_lsh_index,
+    )
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    up = LakeTable.create(
+        spark,
+        _scratch("lshpr_up"),
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+        "doc_id",
+        n_buckets=16,
+        properties={"write.mode": "mor"},
+    )
+    index = create_lsh_index(
+        spark, _scratch("lshpr_view"), k=8, bands=4, shingle_n=3,
+        n_buckets=16,
+    )
+    merge_batch(
+        up,
+        d.select(
+            "doc_id", "text",
+            F.lit(1).cast("long").alias("seq"), F.lit("u").alias("op"),
+        ),
+        batch_id=0,
+        job_id="lshpr",
+    )
+    sync_lsh_index(up, index)
+    probes = d.filter(F.col("doc_id") % 7 == 0)
+    return probe_lsh_index(index, probes, "doc_id", "text")
+
+
+def q_chunks_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk table maintained INCREMENTALLY from changes()
+    (text/chunk_ivm.py over sync_derived_rows: the pre-image's chunk rows
+    retract, the post-image's assert, bucket-pruned O(change); chunks of
+    one doc co-locate via doc_id-prefix bucketing; window/stride persist
+    as table properties). After the 3-batch CDC history the table must
+    equal the batch chunk_documents over the final corpus — SAME oracle
+    as chunk_documents."""
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+    from jitsu_spark.text.chunk_ivm import create_chunk_table, sync_chunks
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    up = LakeTable.create(
+        spark,
+        _scratch("chivm_up"),
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+        "doc_id",
+        n_buckets=16,
+        properties={"write.mode": "mor"},
+    )
+    chunks = create_chunk_table(
+        spark, _scratch("chivm_view"), window=64, stride=48, n_buckets=16,
+    )
+    for i, b in enumerate(_doc_cdc_batches(d)):
+        merge_batch(up, b, batch_id=i, job_id="chivm")
+        sync_chunks(up, chunks)
+    return chunks.read().select("doc_id", "chunk_no", "n_tokens", "chunk_text")
+
+
 def q_term_stats_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term statistics (df, tf, N -> smoothed idf) maintained
     INCREMENTALLY from changes() (text/term_stats.py over the generalized
@@ -1783,6 +1865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats_ivm": q_term_stats_ivm,
         "lm_counts_ivm": q_lm_counts_ivm,
         "lsh_index_ivm": q_lsh_index_ivm,
+        "lsh_probe": q_lsh_probe,
+        "chunks_ivm": q_chunks_ivm,
         "quality_topk": q_quality_topk,
         "vocab_encode": q_vocab_encode,
         "lm_score": q_lm_score,
@@ -1937,6 +2021,41 @@ def _pii_oracle_sql() -> str:
                t{n} AS clean_text
         FROM s{n}
     """
+
+
+# word-trigram shingles -> k=8 minhash -> 4 bands of 2: the shared CTE
+# prefix of every LSH-family oracle (candidates, probe, index IVM) —
+# mirrors dedup/minhash.band_rows exactly (md5('{i}#'||w) per-plane min)
+_LSH_BANDS_CTE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 3
+                    THEN list_distinct(list_transform(
+                             range(1, len(tk)-1),
+                             i -> array_to_string(tk[i:i+2], ' ')))
+                    ELSE [array_to_string(tk, ' ')] END AS s
+        FROM toks
+    ),
+    mh AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_no, md5(m0||'|'||m1) AS bh FROM mh
+        UNION ALL SELECT doc_id, 1, md5(m2||'|'||m3) FROM mh
+        UNION ALL SELECT doc_id, 2, md5(m4||'|'||m5) FROM mh
+        UNION ALL SELECT doc_id, 3, md5(m6||'|'||m7) FROM mh
+    )
+""".format(
+    mins=", ".join(
+        f"list_min(list_transform(s, w -> md5('{i}#'||w))) AS m{i}"
+        for i in range(8)
+    )
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2774,40 +2893,20 @@ def oracle_sql() -> dict[str, str]:
         # every scheme below is md5/sha256-derived by design, so the
         # engine-internal LSH bucketing and the multimodal stub decode are
         # recomputable in pure SQL
-        "lsh_candidates": """
-            WITH toks AS (
-                SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-            ),
-            sh AS (
-                SELECT doc_id,
-                       CASE WHEN len(tk) >= 3
-                            THEN list_distinct(list_transform(
-                                     range(1, len(tk)-1),
-                                     i -> array_to_string(tk[i:i+2], ' ')))
-                            ELSE [array_to_string(tk, ' ')] END AS s
-                FROM toks
-            ),
-            mh AS (
-                SELECT doc_id,
-                       {mins}
-                FROM sh
-            ),
-            bands AS (
-                SELECT doc_id, 0 AS band_no, md5(m0||'|'||m1) AS bh FROM mh
-                UNION ALL SELECT doc_id, 1, md5(m2||'|'||m3) FROM mh
-                UNION ALL SELECT doc_id, 2, md5(m4||'|'||m5) FROM mh
-                UNION ALL SELECT doc_id, 3, md5(m6||'|'||m7) FROM mh
-            )
+        "lsh_candidates": _LSH_BANDS_CTE + """
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
             FROM bands l JOIN bands r
               ON l.band_no = r.band_no AND l.bh = r.bh
              AND l.doc_id < r.doc_id
-        """.format(
-            mins=", ".join(
-                f"list_min(list_transform(s, w -> md5('{i}#'||w))) AS m{i}"
-                for i in range(8)
-            )
-        ),
+        """,
+        # probe path: the % 7 == 0 docs probed against the full-corpus
+        # band index (self-matches included by contract)
+        "lsh_probe": _LSH_BANDS_CTE + """
+            SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS match_doc
+            FROM bands p JOIN bands c
+              ON p.band_no = c.band_no AND p.bh = c.bh
+            WHERE p.doc_id % 7 = 0
+        """,
         # exact trigram-Jaccard verify of the SAME candidate set: shingle
         # sets are distinct lists, so intersection via list_filter +
         # containment is set semantics; union = |a| + |b| - inter
@@ -3082,6 +3181,9 @@ def oracle_sql() -> dict[str, str]:
     # emission == the batch LSH over the final corpus (the 3-batch CDC
     # history restores the original documents table) — SAME oracle
     out["lsh_index_ivm"] = out["lsh_candidates"]
+    # the incrementally maintained chunk table == the batch chunking of
+    # the final corpus — SAME oracle
+    out["chunks_ivm"] = out["chunk_documents"]
     # state invariance: a mid-replay bucket resize must not change the
     # final LWW state, so the rebucket replay answers the SAME oracle as
     # the plain replay

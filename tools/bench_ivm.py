@@ -1,0 +1,198 @@
+"""Steady-state IVM benchmark: after a BIG corpus is already indexed,
+how much does it cost to absorb a SMALL batch of changed documents into
+each changes()-maintained derived view, vs recomputing that view from
+the full corpus (what a batch pipeline would do every cycle)? This is
+the number the whole IVM family exists for — at 100 TB the full
+recompute is off the table, so BASELINE.md records the measured gap at
+a corpus/delta ratio that mirrors the steady regime (default 0.5%).
+
+Views measured:
+  - corpus stats  (term df/tf + N + bigram-LM counts; sync_aggregate)
+  - LSH band index (sync_derived_rows)       vs band_rows(full corpus)
+  - passage-dedup  (occurrence/winner/result) vs dedup_passages(full)
+
+Protocol matches the other bench tools: tmpfs scratch, per-number min
+over n_batches steady-state syncs (distinct deltas of equal size — the
+state mutates, so reps are across batches, not re-runs), full-recompute
+comparators min-of-3 in the same JVM, noop-write forcing.
+
+Usage: python tools/bench_ivm.py [docs_scale] [delta_docs] [n_batches] [cpus]
+       (defaults: 40 1000 3 8 — ~200k docs from sf0.1, 0.5% deltas)
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def main() -> None:
+    docs_scale = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    delta_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    cpus = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+
+    from jitsu_spark.dedup.lsh_index import create_lsh_index, sync_lsh_index
+    from jitsu_spark.dedup.minhash import band_rows
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+    from jitsu_spark.session import get_spark
+    from jitsu_spark.text.lm import bigram_model
+    from jitsu_spark.text.passage_ivm import PassageDedupView
+    from jitsu_spark.text.passages import dedup_passages
+    from jitsu_spark.text.term_stats import create_corpus_stats, sync_corpus_stats
+    from jitsu_spark.text.tokenize import doc_tokens
+
+    scratch = os.environ.get("JITSU_SCALE_DIR", "/dev/shm/jitsu_scale")
+    os.makedirs(scratch, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="jitsu_ivm_", dir=scratch)
+    spark = get_spark(
+        app_name="ivm-steady", cores=cpus, shuffle_partitions=cpus * 4,
+        extra_conf={"spark.local.dir": os.path.join(work, "sl")},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf_dir = os.environ.get("JITSU_TEXT_BASE", "/root/testdata/sf0.1")
+    src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    rep = spark.range(docs_scale).select(F.col("id").alias("_rep"))
+    corpus = (
+        src.crossJoin(rep)
+        .withColumn("doc_id", F.col("doc_id") + F.col("_rep") * 10_000_000)
+        .withColumn(
+            "text",
+            F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" r"), F.col("_rep"))
+            ),
+        )
+        .select("doc_id", "text")
+        .repartition(64)
+    )
+    corpus_dir = os.path.join(work, "docs")
+    corpus.write.parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir)
+    n_docs = corpus.count()
+    mod = max(n_docs // delta_docs, 1)
+
+    up = LakeTable.create(
+        spark, os.path.join(work, "up"), DOC_SCHEMA, "doc_id",
+        n_buckets=64, properties={"write.mode": "mor"},
+    )
+    merge_batch(
+        up,
+        corpus.select(
+            "doc_id", "text",
+            F.lit(1).cast("long").alias("seq"), F.lit("u").alias("op"),
+        ),
+        batch_id="seed",
+        job_id="up",
+    )
+
+    stats = create_corpus_stats(spark, os.path.join(work, "stats"), n_buckets=64)
+    index = create_lsh_index(
+        spark, os.path.join(work, "lsh"), k=8, bands=4, shingle_n=3,
+        n_buckets=64,
+    )
+    passages = PassageDedupView.create(
+        spark, os.path.join(work, "pass"), window=10, n_buckets=64,
+    )
+    views = {
+        "corpus_stats": lambda: sync_corpus_stats(up, stats),
+        "lsh_index": lambda: sync_lsh_index(up, index),
+        "passage_dedup": lambda: passages.sync(up),
+    }
+
+    results: dict = {
+        "n_docs": n_docs, "delta_docs": delta_docs,
+        "n_batches": n_batches, "cpus": cpus,
+        "delta_pct": round(100.0 * delta_docs / n_docs, 3),
+    }
+
+    # bootstrap sync == the view's initial full build through the IVM path
+    boot: dict[str, float] = {}
+    for name, sync in views.items():
+        t0 = time.monotonic()
+        sync()
+        boot[name] = round(time.monotonic() - t0, 3)
+    results["bootstrap_s"] = boot
+
+    # steady state: n_batches distinct same-size deltas, timed per view
+    inc: dict[str, list[float]] = {name: [] for name in views}
+    for i in range(n_batches):
+        delta = corpus.filter(F.col("doc_id") % mod == i).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" u"), F.lit(i)).alias("text"),
+            F.lit(i + 2).cast("long").alias("seq"),
+            F.lit("u").alias("op"),
+        )
+        merge_batch(up, delta, batch_id=f"d{i}", job_id="up")
+        for name, sync in views.items():
+            t0 = time.monotonic()
+            sync()
+            inc[name].append(round(time.monotonic() - t0, 3))
+
+    # full-recompute comparators over the upstream's CURRENT state (what
+    # a batch pipeline re-runs every cycle), min-of-3 in the same JVM
+    cur = up.read().select("doc_id", "text")
+    cur.write.parquet(os.path.join(work, "cur"))  # flat scan, like the views read
+    cur = spark.read.parquet(os.path.join(work, "cur"))
+
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def stats_full():
+        tok = doc_tokens(cur, "doc_id", "text")
+        tf = tok.groupBy("doc_id", "token").count()
+        _noop(tf.groupBy("token").agg(F.count("*"), F.sum("count")))
+        _noop(cur.select(F.count("*")))
+        c2, _c1, _v = bigram_model(cur)
+        _noop(c2)
+
+    full_fns = {
+        "corpus_stats": stats_full,
+        "lsh_index": lambda: _noop(
+            band_rows(cur, "doc_id", "text", k=8, bands=4, shingle_n=3)
+        ),
+        "passage_dedup": lambda: _noop(dedup_passages(cur, window=10)),
+    }
+    full: dict[str, float] = {}
+    for name, fn in full_fns.items():
+        best = None
+        for _ in range(3):
+            t0 = time.monotonic()
+            fn()
+            el = time.monotonic() - t0
+            best = el if best is None else min(best, el)
+        full[name] = round(best, 3)
+
+    results["full_recompute_s"] = full
+    results["incremental_s"] = {k: min(v) for k, v in inc.items()}
+    results["incremental_all_s"] = inc
+    results["speedup"] = {
+        k: round(full[k] / min(v), 2) for k, v in inc.items()
+    }
+    print(json.dumps(results))
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
