@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from jitsu_spark.dedup.minhash import band_rows
-from jitsu_spark.lake.mirror import MirrorResult, sync_derived_rows
+from jitsu_spark.lake.mirror import MirrorResult, WindowImages, sync_derived_rows
 from jitsu_spark.lake.table import BUCKET_PREFIX_SEP_PROP, LakeTable
 
 SEP = "#"  # never appears inside an md5 hex band hash
@@ -104,9 +104,12 @@ def sync_lsh_index(
     index: LakeTable,
     text_col: str = "text",
     job_id: str = "lsh-index",
+    images: WindowImages | None = None,
 ) -> MirrorResult:
     """Advance the index to the upstream's current version — the banding
-    parameters come from the index's own properties."""
+    parameters come from the index's own properties. Pass a shared
+    ``images`` when syncing several views of the same upstream in one
+    run (the window scan/reads run once across all of them)."""
     key = src.snapshot().key_field
 
     def derive(docs: DataFrame) -> DataFrame:
@@ -122,7 +125,7 @@ def sync_lsh_index(
             F.col(key).alias("doc"),
         )
 
-    return sync_derived_rows(src, index, derive, job_id=job_id)
+    return sync_derived_rows(src, index, derive, job_id=job_id, images=images)
 
 
 def index_pairs(index: LakeTable) -> DataFrame:

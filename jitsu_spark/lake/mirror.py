@@ -76,11 +76,62 @@ def sync_mirror(
     return MirrorResult(from_version=since, to_version=cur)
 
 
+class WindowImages:
+    """Memoized (changed keys, dirty buckets, pre-image, post-image) of an
+    upstream sync window — the frames every ``sync_aggregate`` /
+    ``sync_derived_rows`` call over the same upstream recomputes from
+    scratch. One CDC-maintained table usually feeds SEVERAL derived views
+    (term stats + bigram counts + LSH index + chunk table ...); without
+    sharing, each view re-runs the changes() scan, the distinct, and two
+    reconcile reads of every dirty upstream bucket — the dominant
+    per-sync cost once deltas spread across buckets. The frames after the
+    changed-keys semi-join are O(change), so they're ``localCheckpoint``ed
+    (eager) once and served to every view syncing the SAME (since, cur)
+    window; a view whose cursor lags (crash retry) misses the cache and
+    computes its own window, exactly as before.
+
+    Pass one instance to every sync of the same upstream within one
+    driver run; do NOT reuse across upstream commits (keys include the
+    window, so stale entries are never served — they just hold memory)."""
+
+    def __init__(self, src: LakeTable):
+        self.src = src
+        self._cache: dict = {}
+
+    def get(self, since: int, cur: int):
+        w = (since, cur)
+        if w not in self._cache:
+            key = self.src.snapshot().key_field
+            ch = self.src.changes(since_version=since, to_version=cur)
+            changed = ch.select(key).distinct().localCheckpoint()
+            dirty = sorted(
+                r["b"]
+                for r in changed.select(
+                    self.src.bucket_expr(F.col(key)).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            pre = (
+                self.src.read(version=since, buckets=dirty)
+                .join(changed, on=key, how="semi")
+                .localCheckpoint()
+            )
+            post = (
+                self.src.read(version=cur, buckets=dirty)
+                .join(changed, on=key, how="semi")
+                .localCheckpoint()
+            )
+            self._cache[w] = (changed, dirty, pre, post)
+        return self._cache[w]
+
+
 def sync_derived_rows(
     src: LakeTable,
     dst: LakeTable,
     derive,
     job_id: str = "derived",
+    images: WindowImages | None = None,
 ) -> MirrorResult:
     """Incrementally maintain ``dst == derive(full src table)`` where
     ``derive`` maps upstream rows to derived rows 1->N (an inverted
@@ -98,37 +149,20 @@ def sync_derived_rows(
     cur = src.snapshot().version
     if cur <= since:
         return MirrorResult(from_version=since, to_version=since, skipped=True)
-    key = src.snapshot().key_field
-    ch = src.changes(since_version=since, to_version=cur)
-    changed = ch.select(key).distinct().persist()
-    try:
-        dirty_buckets = sorted(
-            r["b"]
-            for r in changed.select(src.bucket_expr(F.col(key)).alias("b"))
-            .distinct()
-            .collect()
-        )
-        pre = src.read(version=since, buckets=dirty_buckets).join(
-            changed, on=key, how="semi"
-        )
-        post = src.read(version=cur, buckets=dirty_buckets).join(
-            changed, on=key, how="semi"
-        )
-        out_cols = dst.schema().fieldNames()
-        batch = derive(pre).select(
+    _changed, _dirty, pre, post = (images or WindowImages(src)).get(since, cur)
+    out_cols = dst.schema().fieldNames()
+    batch = derive(pre).select(
+        *out_cols,
+        F.lit(2 * cur).cast("long").alias("seq"),
+        F.lit("d").alias("op"),
+    ).unionByName(
+        derive(post).select(
             *out_cols,
-            F.lit(2 * cur).cast("long").alias("seq"),
-            F.lit("d").alias("op"),
-        ).unionByName(
-            derive(post).select(
-                *out_cols,
-                F.lit(2 * cur + 1).cast("long").alias("seq"),
-                F.lit("u").alias("op"),
-            )
+            F.lit(2 * cur + 1).cast("long").alias("seq"),
+            F.lit("u").alias("op"),
         )
-        merge_batch(dst, batch, batch_id=f"v{cur}", job_id=job_id)
-    finally:
-        changed.unpersist()
+    )
+    merge_batch(dst, batch, batch_id=f"v{cur}", job_id=job_id)
     return MirrorResult(from_version=since, to_version=cur)
 
 
@@ -140,6 +174,7 @@ def sync_aggregate(
     count_col: str = "n_rows",
     job_id: str = "aggmirror",
     row_transform=None,
+    images: WindowImages | None = None,
 ) -> MirrorResult:
     """Incrementally maintain a downstream AGGREGATE table
     (``group_col -> count + sums``) from an upstream MoR table's
@@ -178,29 +213,22 @@ def sync_aggregate(
     cur = src.snapshot().version
     if cur <= since:
         return MirrorResult(from_version=since, to_version=since, skipped=True)
-    key = src.snapshot().key_field
-    ch = src.changes(since_version=since, to_version=cur)
-    # persisted: consumed by the bucket collect AND both semi-joins —
-    # without it the changes() scan + distinct shuffle runs three times
-    changed = ch.select(key).distinct().persist()
-    dirty_buckets = sorted(
-        r["b"]
-        for r in changed.select(src.bucket_expr(F.col(key)).alias("b"))
-        .distinct()
-        .collect()
-    )
+    # the (changed, dirty-bucket, pre/post image) frames are checkpointed
+    # once per window and shared with every other view syncing this
+    # upstream (see WindowImages) — the changes() scan, the distinct and
+    # the two reconcile reads run once, not once per view
+    _changed, _dirty, pre_img, post_img = (
+        images or WindowImages(src)
+    ).get(since, cur)
     cols = [group_col, *sum_cols]
 
-    def _image(version: int, sign: int) -> DataFrame:
-        img = src.read(version=version, buckets=dirty_buckets).join(
-            changed, on=key, how="semi"
-        )
+    def _image(img: DataFrame, sign: int) -> DataFrame:
         if row_transform is not None:
             img = row_transform(img)
         return img.select(*cols, F.lit(sign).alias("_sign"))
 
-    pre = _image(since, -1)
-    post = _image(cur, 1)
+    pre = _image(pre_img, -1)
+    post = _image(post_img, 1)
     # persisted: one row per dirty group; consumed by the dst-bucket
     # collect and the adjustment join
     delta = (
@@ -247,6 +275,5 @@ def sync_aggregate(
     try:
         merge_batch(dst, merged, batch_id=f"v{cur}", job_id=job_id)
     finally:
-        changed.unpersist()
         delta.unpersist()
     return MirrorResult(from_version=since, to_version=cur)

@@ -282,9 +282,15 @@ class LakeTable:
         columns plus ``_change_op`` ('i'/'u'/'d') and ``_commit_version``.
 
         Raises if the range contains a commit whose row-level changes are
-        not reconstructible from files (CoW merge rewrites, compaction
-        folds, overwrites) — consume changes before compacting, exactly
-        the Iceberg changelog-scan caveat."""
+        not reconstructible from files (CoW merge rewrites, overwrites) —
+        exactly the Iceberg changelog-scan caveat. Maintenance commits are
+        tolerated where they provably preserve the window's deltas:
+        ``manifest_compact`` always (metadata-only — data files untouched),
+        and ``compact``/``rebucket`` when no unconsumed merge PRECEDES the
+        fold inside the window (the fold erases prior merges' delta files,
+        so a lagging consumer must raise; a fully-caught-up consumer whose
+        window merely STARTS before a background compaction is fine — the
+        steady-state regime of every continuously-compacted stream)."""
         snap = self.snapshot(to_version)
         hi = snap.version if to_version is None else to_version
         logical = T.StructType.fromJson(__import__("json").loads(snap.schema_json))
@@ -302,6 +308,7 @@ class LakeTable:
             e["version"]: e for e in snap.lineage if "version" in e
         }
         full_positional = len(snap.lineage) == snap.version
+        merges_before_fold = 0
         for v in range(since_version + 1, hi + 1):
             entry = by_version.get(v)
             if entry is None and full_positional and v - 1 < len(snap.lineage):
@@ -312,12 +319,26 @@ class LakeTable:
                     f"{v} is archived (manifest compaction) — sync "
                     "downstream consumers before compact_manifest"
                 )
-            if entry.get("kind") != "merge":
+            kind = entry.get("kind")
+            if kind == "merge":
+                merges_before_fold += 1
+            elif kind == "manifest_compact":
+                continue  # metadata-only: every delta file survives
+            elif kind in ("compact", "rebucket"):
+                if merges_before_fold:
+                    raise ValueError(
+                        f"changes({since_version}, {hi}): commit {v} is a "
+                        f"{kind} that folded {merges_before_fold} "
+                        "not-yet-consumed merge(s)' delta files into base — "
+                        "row-level changes are lost (sync consumers past "
+                        "every merge BEFORE compact/rebucket)"
+                    )
+            else:
                 raise ValueError(
                     f"changes({since_version}, {hi}): commit {v} is "
-                    f"{entry.get('kind')!r}, not a delta merge — row-level "
+                    f"{kind!r}, not a delta merge — row-level "
                     "changes are not reconstructible (consume changes "
-                    "before compact/overwrite, or use MoR write mode)"
+                    "before overwrite/append, or use MoR write mode)"
                 )
         groups: dict[tuple[str, int], list[str]] = {}
         for entries in snap.files.values():

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from jitsu_spark.lake.mirror import MirrorResult, sync_derived_rows
+from jitsu_spark.lake.mirror import MirrorResult, WindowImages, sync_derived_rows
 from jitsu_spark.lake.table import BUCKET_PREFIX_SEP_PROP, LakeTable
 from jitsu_spark.text.chunk import chunk_documents
 
@@ -86,9 +86,11 @@ def sync_chunks(
     table: LakeTable,
     text_col: str = "text",
     job_id: str = "chunk-index",
+    images: WindowImages | None = None,
 ) -> MirrorResult:
     """Advance the chunk table to the upstream's current version under
-    the table's own persisted window/stride."""
+    the table's own persisted window/stride. Pass a shared ``images``
+    when syncing several views of the same upstream in one run."""
     p = json.loads(table.snapshot().properties[PARAMS_PROP])
     key = src.snapshot().key_field
 
@@ -108,4 +110,4 @@ def sync_chunks(
             "chunk_text",
         )
 
-    return sync_derived_rows(src, table, derive, job_id=job_id)
+    return sync_derived_rows(src, table, derive, job_id=job_id, images=images)

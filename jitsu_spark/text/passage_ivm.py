@@ -211,10 +211,19 @@ class PassageDedupView:
         )
 
     def _window(self, src: LakeTable, lo: int, cur: int, key: str,
-                text_col: str):
+                text_col: str, images=None):
         """(changed keys, pre-image docs @lo, post-image docs @cur) for the
         upstream window (lo, cur] — every read bucket-pruned to the
-        changed docs."""
+        changed docs. With a shared ``images`` (lake/mirror.WindowImages),
+        the frames come from the cross-view cache instead of a fresh
+        scan — one window computation serves every view of the upstream."""
+        if images is not None:
+            changed, _dirty, pre, post = images.get(lo, cur)
+            return (
+                changed,
+                pre.select(key, F.col(text_col).alias("text")),
+                post.select(key, F.col(text_col).alias("text")),
+            )
         changed = (
             src.changes(since_version=lo, to_version=cur)
             .select(key).distinct().persist()
@@ -232,7 +241,9 @@ class PassageDedupView:
         )
         return changed, pre, post
 
-    def sync(self, src: LakeTable, text_col: str = "text") -> MirrorResult:
+    def sync(
+        self, src: LakeTable, text_col: str = "text", images=None
+    ) -> MirrorResult:
         """Advance all three state tables to the upstream's current
         version. The three stages carry INDEPENDENT cursors (each table's
         own commit manifest), applied in occ -> winners -> result order,
@@ -261,7 +272,9 @@ class PassageDedupView:
 
         def get_window(lo: int):
             if lo not in win_cache:
-                ch, pre, post = self._window(src, lo, cur, key, text_col)
+                ch, pre, post = self._window(
+                    src, lo, cur, key, text_col, images=images
+                )
                 post = post.persist()
                 pinned.extend([ch, post])
                 win_cache[lo] = (ch, pre, post)

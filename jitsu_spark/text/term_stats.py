@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from jitsu_spark.lake.mirror import MirrorResult, sync_aggregate
+from jitsu_spark.lake.mirror import MirrorResult, WindowImages, sync_aggregate
 from jitsu_spark.lake.table import LakeTable
 from jitsu_spark.text.tokenize import doc_tokens, non_empty
 
@@ -146,11 +146,17 @@ def sync_corpus_stats(
     id_col: str | None = None,
     text_col: str = "text",
     job_id: str = "corpus-stats",
+    images: WindowImages | None = None,
 ) -> dict[str, MirrorResult]:
     """Advance every stats table to the upstream's current version. Each
     table carries its own manifest cursor (independent exactly-once), so
-    a crash between the syncs resumes without double-counting."""
+    a crash between the syncs resumes without double-counting. The three
+    syncs share one :class:`WindowImages` (the changes() scan and the
+    pre/post reconcile reads run once, not three times); pass your own
+    ``images`` to extend the sharing to further views of the same
+    upstream synced in the same run."""
     key = id_col or src.snapshot().key_field
+    images = images or WindowImages(src)
     out = {
         "stats": sync_aggregate(
             src,
@@ -160,6 +166,7 @@ def sync_corpus_stats(
             count_col="df",
             job_id=job_id,
             row_transform=term_rows(key, text_col),
+            images=images,
         ),
         "meta": sync_aggregate(
             src,
@@ -168,6 +175,7 @@ def sync_corpus_stats(
             count_col="n_docs",
             job_id=job_id,
             row_transform=corpus_rows(text_col),
+            images=images,
         ),
     }
     if "bigrams" in tables:
@@ -178,6 +186,7 @@ def sync_corpus_stats(
             count_col="c",
             job_id=job_id,
             row_transform=bigram_rows(key, text_col),
+            images=images,
         )
     return out
 

@@ -250,3 +250,86 @@ def test_sync_derived_rows_generic_inverted_index(spark, tmpdir_path):
             for r in dst.read().select("token", "doc").collect()
         }
         assert got == expected()
+
+
+def test_shared_window_images_across_views(spark, tmpdir_path):
+    """One WindowImages serves every view of the same upstream in one
+    sync round (stats + LSH index + chunk table): results identical to
+    independent syncs, and a lagging view (skipped one round) misses the
+    cache and self-heals from its own window."""
+    from jitsu_spark.lake.mirror import WindowImages
+    from jitsu_spark.text.chunk import chunk_documents
+    from jitsu_spark.text.chunk_ivm import create_chunk_table, sync_chunks
+    from jitsu_spark.text.passage_ivm import PassageDedupView
+    from jitsu_spark.text.passages import dedup_passages
+    from jitsu_spark.text.term_stats import create_corpus_stats, sync_corpus_stats
+
+    src = _mk_src(spark, os.path.join(tmpdir_path, "src"))
+    passages = PassageDedupView.create(
+        spark, os.path.join(tmpdir_path, "pv"), window=3, n_buckets=8,
+    )
+    index = create_lsh_index(
+        spark, os.path.join(tmpdir_path, "ix"),
+        k=K, bands=BANDS, shingle_n=NGRAM, n_buckets=8,
+    )
+    chunks = create_chunk_table(
+        spark, os.path.join(tmpdir_path, "ch"), window=4, stride=3,
+        n_buckets=8,
+    )
+    stats = create_corpus_stats(
+        spark, os.path.join(tmpdir_path, "st"), n_buckets=8,
+        with_bigrams=False,
+    )
+    rng = random.Random(3)
+    batches = [
+        [(i, _text(rng, 10), "u") for i in range(1, 9)],
+        [(2, _text(rng, 6), "u"), (3, None, "d"), (9, _text(rng, 10), "u")],
+        [(9, _text(rng, 4), "u"), (1, None, "d")],
+    ]
+    seq = 0
+    for i, b in enumerate(batches):
+        _apply(src, spark, b, seq)
+        seq += len(b)
+        img = WindowImages(src)
+        sync_corpus_stats(src, stats, images=img)
+        sync_lsh_index(src, index, images=img)
+        passages.sync(src, images=img)
+        if i != 1:  # chunk view skips round 1 -> lags, heals on round 2
+            sync_chunks(src, chunks, images=img)
+    assert _actual_pairs(index) == _expected_pairs(src)
+    want_pass = {
+        (r["doc_id"], r["n_passages"], r["n_kept"], r["clean_text"])
+        for r in dedup_passages(
+            src.read().select("doc_id", "text"), window=3
+        ).collect()
+    }
+    got_pass = {
+        (r["doc_id"], r["n_passages"], r["n_kept"], r["clean_text"])
+        for r in passages.result.read().collect()
+    }
+    assert got_pass == want_pass
+    cur = src.read().select("doc_id", "text")
+    want_chunks = {
+        (r["doc_id"], r["chunk_no"], r["chunk_text"])
+        for r in chunk_documents(cur, 4, 3).collect()
+    }
+    got_chunks = {
+        (r["doc_id"], r["chunk_no"], r["chunk_text"])
+        for r in chunks.read().collect()
+    }
+    assert got_chunks == want_chunks
+    want_stats = {}
+    for r in cur.collect():
+        if r["text"]:
+            seen = {}
+            for t in r["text"].split(" "):
+                seen[t] = seen.get(t, 0) + 1
+            for t, c in seen.items():
+                df_tf = want_stats.setdefault(t, [0, 0])
+                df_tf[0] += 1
+                df_tf[1] += c
+    got_stats = {
+        r["token"]: [r["df"], r["tf"]]
+        for r in stats["stats"].read().collect()
+    }
+    assert got_stats == want_stats

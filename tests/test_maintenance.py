@@ -642,3 +642,93 @@ def test_regressed_hint_below_expiry_horizon_self_heals(spark, tmpdir_path):
     # and the table accepts new commits afterwards
     merge_batch(t, batch(spark, [ev(9, "i", "k9", [9])]), batch_id=9)
     assert t.snapshot().version == 7 and t.read().count() == 7
+
+
+def test_changes_window_crosses_background_compaction(spark, tmpdir_path):
+    """A fully-caught-up consumer whose next window merely STARTS before a
+    background compact/rebucket must keep working (the steady regime of a
+    continuously-compacted stream); a LAGGING consumer — an unconsumed
+    merge folded by the compaction — must still raise. manifest_compact is
+    transparent either way (metadata-only)."""
+    import pytest
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "cc"), TARGET_SCHEMA, "doc_id",
+        n_buckets=4, properties={"write.mode": "mor"},
+    )
+    merge_batch(t, batch(spark, [ev(1, "i", "a", [1]), ev(2, "i", "b", [2])]),
+                batch_id=0)
+    merge_batch(t, batch(spark, [ev(3, "u", "a", [9])]), batch_id=1)
+    v_synced = t.snapshot().version  # consumer cursor after full sync
+
+    t.compact(max_files_per_bucket=1)  # background fold of fragged buckets
+    assert any(e.get("kind") == "compact" for e in t.snapshot().lineage)
+    assert max(len(es) for es in t.snapshot().files.values()) == 1
+    merge_batch(t, batch(spark, [ev(4, "i", "c", [3])]), batch_id=2)
+
+    # caught-up consumer: window (v_synced, cur] spans the compact — OK
+    got = {
+        (r["doc_id"], r["_change_op"])
+        for r in t.changes(since_version=v_synced).collect()
+    }
+    assert got == {("c", "i")}
+
+    # lagging consumer: merge v2 was folded by the compact — must raise
+    with pytest.raises(ValueError, match="not-yet-consumed"):
+        t.changes(since_version=v_synced - 1)
+
+    # manifest_compact inside the window is transparent even when lagging
+    from jitsu_spark.lake.maintenance import compact_manifest
+
+    v2 = t.snapshot().version
+    merge_batch(t, batch(spark, [ev(5, "u", "c", [7])]), batch_id=3)
+    compact_manifest(t, keep_lineage=200, keep_recent_batches=50)
+    merge_batch(t, batch(spark, [ev(6, "d", "b")]), batch_id=4)
+    got = {
+        (r["doc_id"], r["_change_op"])
+        for r in t.changes(since_version=v2).collect()
+    }
+    assert got == {("c", "u"), ("b", "d")}
+
+
+def test_mirror_sync_survives_in_stream_compaction(spark, tmpdir_path):
+    """The combination that used to wedge: CdcStreamJob with
+    compact_every_n_batches + a post_commit mirror sync. post_commit fires
+    BEFORE the compaction (cursor = the merge version), so every later
+    sync window starts at a merge and only ever CROSSES fold commits —
+    legal now, and the mirror stays exact."""
+    from jitsu_spark.changelog import CHANGELOG_SCHEMA, changelog_df
+    from jitsu_spark.lake.mirror import sync_mirror
+    from jitsu_spark.streaming import CdcStreamJob
+
+    log = changelog_df(spark, n_events=1200, n_docs=100, seed=23)
+    src = os.path.join(tmpdir_path, "log")
+    for i in range(4):
+        log.filter(
+            (F.col("seq") >= i * 300) & (F.col("seq") < (i + 1) * 300)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tbl"), TARGET_SCHEMA, "doc_id",
+        n_buckets=4, properties={"write.mode": "mor"},
+    )
+    mirror = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "mir"), TARGET_SCHEMA, "doc_id",
+        n_buckets=4, properties={"write.mode": "mor"},
+    )
+    job = CdcStreamJob(
+        table=table,
+        source_dir=src,
+        checkpoint_dir=os.path.join(tmpdir_path, "ckpt"),
+        source_schema=CHANGELOG_SCHEMA,
+        max_files_per_trigger=1,
+        job_id="compmir",
+        compact_every_n_batches=1,  # fold after EVERY batch — worst case
+        compact_max_files_per_bucket=1,
+        post_commit=lambda bid: sync_mirror(table, mirror),
+    )
+    job.run_available_now(spark)
+    assert any(e.get("kind") == "compact" for e in table.snapshot().lineage)
+    up = {r["doc_id"]: r["tokens"] for r in table.read().collect()}
+    mi = {r["doc_id"]: r["tokens"] for r in mirror.read().collect()}
+    assert mi == up and len(up) > 0

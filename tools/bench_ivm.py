@@ -53,6 +53,7 @@ def main() -> None:
     from jitsu_spark.dedup.minhash import band_rows
     from jitsu_spark.lake import LakeTable
     from jitsu_spark.lake.merge import merge_batch
+    from jitsu_spark.lake.mirror import WindowImages
     from jitsu_spark.session import get_spark
     from jitsu_spark.text.lm import bigram_model
     from jitsu_spark.text.passage_ivm import PassageDedupView
@@ -114,29 +115,45 @@ def main() -> None:
     passages = PassageDedupView.create(
         spark, os.path.join(work, "pass"), window=10, n_buckets=64,
     )
+    # one WindowImages per upstream commit, shared by ALL views — the
+    # composed-deployment shape: N views of one CDC table, ONE window scan
     views = {
-        "corpus_stats": lambda: sync_corpus_stats(up, stats),
-        "lsh_index": lambda: sync_lsh_index(up, index),
-        "passage_dedup": lambda: passages.sync(up),
+        "corpus_stats": lambda img: sync_corpus_stats(up, stats, images=img),
+        "lsh_index": lambda img: sync_lsh_index(up, index, images=img),
+        "passage_dedup": lambda img: passages.sync(up, images=img),
     }
 
     results: dict = {
         "n_docs": n_docs, "delta_docs": delta_docs,
         "n_batches": n_batches, "cpus": cpus,
         "delta_pct": round(100.0 * delta_docs / n_docs, 3),
+        "compact_between_batches": os.environ.get("JITSU_IVM_COMPACT") == "1",
     }
 
     # bootstrap sync == the view's initial full build through the IVM path
     boot: dict[str, float] = {}
+    img = WindowImages(up)
     for name, sync in views.items():
         t0 = time.monotonic()
-        sync()
+        sync(img)
         boot[name] = round(time.monotonic() - t0, 3)
     results["bootstrap_s"] = boot
+
+    # JITSU_IVM_COMPACT=1: fold every MoR delta back into base between
+    # batches (UNTIMED — background/amortized work in a real deployment).
+    # Without it, every view bucket stays dirty after the first sync and
+    # every subsequent read pays the full LWW-reconcile shuffle — the
+    # no-compaction numbers measure exactly that tax.
+    compact = os.environ.get("JITSU_IVM_COMPACT") == "1"
+    all_tables = [up, index, passages.occ, passages.winners,
+                  passages.result] + list(stats.values())
 
     # steady state: n_batches distinct same-size deltas, timed per view
     inc: dict[str, list[float]] = {name: [] for name in views}
     for i in range(n_batches):
+        if compact:
+            for t in all_tables:
+                t.compact(max_files_per_bucket=1)
         delta = corpus.filter(F.col("doc_id") % mod == i).select(
             "doc_id",
             F.concat(F.col("text"), F.lit(" u"), F.lit(i)).alias("text"),
@@ -144,9 +161,10 @@ def main() -> None:
             F.lit("u").alias("op"),
         )
         merge_batch(up, delta, batch_id=f"d{i}", job_id="up")
+        img = WindowImages(up)
         for name, sync in views.items():
             t0 = time.monotonic()
-            sync()
+            sync(img)
             inc[name].append(round(time.monotonic() - t0, 3))
 
     # full-recompute comparators over the upstream's CURRENT state (what
@@ -186,6 +204,9 @@ def main() -> None:
     results["full_recompute_s"] = full
     results["incremental_s"] = {k: min(v) for k, v in inc.items()}
     results["incremental_all_s"] = inc
+    results["pipeline_total_s"] = [
+        round(sum(inc[n][i] for n in views), 3) for i in range(n_batches)
+    ]
     results["speedup"] = {
         k: round(full[k] / min(v), 2) for k, v in inc.items()
     }
