@@ -611,6 +611,41 @@ def q_chunks_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.read().select("doc_id", "chunk_no", "n_tokens", "chunk_text")
 
 
+def q_doc_features_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition-feature MIRROR maintained INCREMENTALLY
+    from changes() (text/repetition.sync_repetition_features over
+    sync_derived_rows — the 1->1 per-doc shape: pre-image row retracts,
+    post-image row asserts, deleted docs vanish). After the 3-batch CDC
+    history the mirror equals the batch repetition_signals over the final
+    corpus — SAME oracle as repetition_signals."""
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+    from jitsu_spark.text.repetition import (
+        create_features_table,
+        sync_repetition_features,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    up = LakeTable.create(
+        spark,
+        _scratch("feat_up"),
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+        "doc_id",
+        n_buckets=16,
+        properties={"write.mode": "mor"},
+    )
+    feats = create_features_table(spark, _scratch("feat_view"), n_buckets=16)
+    for i, b in enumerate(_doc_cdc_batches(d)):
+        merge_batch(up, b, batch_id=i, job_id="feat")
+        sync_repetition_features(up, feats)
+    return feats.read()
+
+
 def q_term_stats_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term statistics (df, tf, N -> smoothed idf) maintained
     INCREMENTALLY from changes() (text/term_stats.py over the generalized
@@ -1867,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_index_ivm": q_lsh_index_ivm,
         "lsh_probe": q_lsh_probe,
         "chunks_ivm": q_chunks_ivm,
+        "doc_features_ivm": q_doc_features_ivm,
         "quality_topk": q_quality_topk,
         "vocab_encode": q_vocab_encode,
         "lm_score": q_lm_score,
@@ -3184,6 +3220,9 @@ def oracle_sql() -> dict[str, str]:
     # the incrementally maintained chunk table == the batch chunking of
     # the final corpus — SAME oracle
     out["chunks_ivm"] = out["chunk_documents"]
+    # the incrementally maintained per-doc feature mirror == the batch
+    # repetition signals over the final corpus — SAME oracle
+    out["doc_features_ivm"] = out["repetition_signals"]
     # state invariance: a mid-replay bucket resize must not change the
     # final LWW state, so the rebucket replay answers the SAME oracle as
     # the plain replay

@@ -321,18 +321,77 @@ class PassageDedupView:
                 merge_batch(self.occ, occ_batch, batch_id=bid,
                             job_id=self.job_id)
 
-            # -- stage 2: winner recompute for DIRTY passages only ----------
+            # -- stage 2: winner recompute for DISPLACED passages only ------
+            # A dirty passage needs the (corpus-sized) occurrence index
+            # read ONLY if its current winner's occurrence was truly
+            # retracted (not re-asserted under the same key) — otherwise
+            # the winner survives and the new winner is simply
+            # min(old winner, min of this window's assertions), because
+            # every other surviving occurrence is >= the old winner by
+            # definition. Insert-only ingest therefore never touches the
+            # occ table here at all: new passages take min(assertions),
+            # existing ones min(old winner, assertions).
             win_since = last_synced_version(self.winners, self.job_id)
             if win_since < cur:
                 dirty = get_dirty(win_since)
-                # occ is now consistent with src@cur; prefix bucketing makes
-                # the dirty-passage read exact and pruned
-                pbk = self._buckets(self.occ, dirty, "passage_h")
-                new_winners = (
-                    self.occ.read(buckets=pbk)
+                op2, on2 = get_occ(win_since)
+                wbk = self._buckets(self.winners, dirty, "passage_h")
+                # winners is still at win_since state here (its own batch
+                # is unapplied), so current reads ARE the old winners
+                old = (
+                    self.winners.read(buckets=wbk)
                     .join(dirty, on="passage_h", how="semi")
+                    .persist()
+                )
+                pinned.append(old)
+                # occurrences truly retracted: in the pre-image, not
+                # re-asserted in the post-image (k = hash#doc#pos)
+                tr = op2.join(on2.select("k"), on="k", how="left_anti")
+                displaced = (
+                    old.alias("o")
+                    .join(
+                        tr.alias("t"),
+                        (F.col("o.passage_h") == F.col("t.passage_h"))
+                        & (F.col("o.win_doc") == F.col("t.doc"))
+                        & (F.col("o.win_pos") == F.col("t.pos")),
+                        "left_semi",
+                    )
+                    .select("passage_h")
+                    .persist()
+                )
+                pinned.append(displaced)
+                # displaced passages: full recompute from occ (consistent
+                # with src@cur after stage 1), pruned to THEIR buckets
+                pbk = self._buckets(self.occ, displaced, "passage_h")
+                recomputed = (
+                    self.occ.read(buckets=pbk)
+                    .join(displaced, on="passage_h", how="semi")
                     .groupBy("passage_h")
                     .agg(F.min(F.struct("doc", "pos")).alias("_w"))
+                )
+                # everyone else: min(surviving old winner, new assertions)
+                cand_new = on2.groupBy("passage_h").agg(
+                    F.min(F.struct("doc", "pos")).alias("_w")
+                )
+                nd = (
+                    old.join(displaced, on="passage_h", how="left_anti")
+                    .select(
+                        "passage_h",
+                        F.struct(
+                            F.col("win_doc").alias("doc"),
+                            F.col("win_pos").alias("pos"),
+                        ).alias("_w"),
+                    )
+                    .unionByName(
+                        cand_new.join(
+                            displaced, on="passage_h", how="left_anti"
+                        )
+                    )
+                    .groupBy("passage_h")
+                    .agg(F.min("_w").alias("_w"))
+                )
+                new_winners = (
+                    nd.unionByName(recomputed)
                     .select(
                         "passage_h",
                         F.col("_w.doc").alias("win_doc"),
@@ -341,14 +400,8 @@ class PassageDedupView:
                     .persist()
                 )
                 pinned.append(new_winners)
-                wbk = self._buckets(self.winners, dirty, "passage_h")
-                # winners is still at win_since state here (its own batch
-                # is unapplied), so current reads ARE the old winners
-                gone = (
-                    self.winners.read(buckets=wbk)
-                    .join(dirty, on="passage_h", how="semi")
-                    .join(new_winners, on="passage_h", how="left_anti")
-                )
+                # gone = displaced passages with zero occurrences left
+                gone = old.join(new_winners, on="passage_h", how="left_anti")
                 win_batch = new_winners.select(
                     "passage_h", "win_doc", "win_pos",
                     F.lit(2 * cur + 1).cast("long").alias("seq"),

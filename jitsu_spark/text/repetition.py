@@ -73,3 +73,52 @@ def repetition_signals(
         .otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),
     )
+
+
+def create_features_table(spark, root, key_field: str = "doc_id",
+                          key_type=None, n_buckets: int = 16):
+    """The per-document repetition-feature MIRROR: one row per live doc,
+    maintained O(change) from ``changes()`` by ``sync_repetition_features``
+    (the third IVM shape next to per-corpus aggregates and derived rows —
+    a 1->1 per-doc feature projection keyed by the doc itself, so the
+    pre-image row retracts and the post-image row asserts; a deleted doc's
+    feature row disappears because it exists only in the pre-image)."""
+    from pyspark.sql import types as T
+
+    from jitsu_spark.lake.table import LakeTable
+
+    return LakeTable.create(
+        spark,
+        root,
+        T.StructType(
+            [
+                T.StructField(key_field, key_type or T.LongType()),
+                T.StructField("n_words", T.LongType()),
+                T.StructField("n_distinct_words", T.LongType()),
+                T.StructField("dup_word_frac", T.DoubleType()),
+                T.StructField("top_word_frac", T.DoubleType()),
+                T.StructField("top_bigram_frac", T.DoubleType()),
+            ]
+        ),
+        key_field,
+        n_buckets=n_buckets,
+        properties={"write.mode": "mor"},
+    )
+
+
+def sync_repetition_features(src, table, text_col: str = "text",
+                             job_id: str = "rep-features", images=None):
+    """Advance the feature mirror to the upstream's current version —
+    invariant: ``table == repetition_signals(full upstream)``. Share
+    ``images`` (lake/mirror.WindowImages) with the other views of the
+    same upstream."""
+    from jitsu_spark.lake.mirror import sync_derived_rows
+
+    key = src.snapshot().key_field
+
+    def derive(docs: DataFrame) -> DataFrame:
+        return repetition_signals(
+            docs.select(key, text_col), id_col=key, text_col=text_col
+        )
+
+    return sync_derived_rows(src, table, derive, job_id=job_id, images=images)

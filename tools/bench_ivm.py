@@ -148,6 +148,12 @@ def main() -> None:
     all_tables = [up, index, passages.occ, passages.winners,
                   passages.result] + list(stats.values())
 
+    # JITSU_IVM_MODE=insert: deltas are BRAND-NEW docs (the append-heavy
+    # training-corpus ingest regime — no retractions, so the winner-split
+    # stage-2 never touches the occurrence index); default = updates.
+    insert_mode = os.environ.get("JITSU_IVM_MODE") == "insert"
+    results["delta_mode"] = "insert" if insert_mode else "update"
+
     # steady state: n_batches distinct same-size deltas, timed per view
     inc: dict[str, list[float]] = {name: [] for name in views}
     for i in range(n_batches):
@@ -155,7 +161,15 @@ def main() -> None:
             for t in all_tables:
                 t.compact(max_files_per_bucket=1)
         delta = corpus.filter(F.col("doc_id") % mod == i).select(
-            "doc_id",
+            (
+                # shift far past the replica id space (replicas occupy
+                # doc_id + rep*10M, rep < scale) so inserts NEVER collide
+                # with an existing doc — a collision would silently turn
+                # the insert-only regime into updates of unrelated docs
+                F.col("doc_id") + F.lit(10_000_000_000 * (i + 1))
+                if insert_mode
+                else F.col("doc_id")
+            ).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" u"), F.lit(i)).alias("text"),
             F.lit(i + 2).cast("long").alias("seq"),
             F.lit("u").alias("op"),
