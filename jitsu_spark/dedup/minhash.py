@@ -189,25 +189,10 @@ def lsh_bucket_stats(
     rows_in_skipped_buckets}`` (the skipped_* fields are 0 when no cap is
     given). One aggregation job over the signatures; cache ``df`` first if
     running both this and the pair join over a huge corpus."""
-    if k % bands:
-        raise ValueError("k must be divisible by bands")
-    r = k // bands
-    sig = minhash_signature(df.select(id_col, text_col), text_col, k, shingle_n)
-    band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    stacked = sig.select(F.col(id_col), *band_cols).select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("bh"))
-                for b in range(bands)
-            ])
-        ).alias("b"),
-    ).select(id_col, "b.band_no", "b.bh")
+    # the SAME banding as the candidate join and the incremental index —
+    # one definition, so this guard metric can never drift from the
+    # collisions it describes
+    stacked = band_rows(df, id_col, text_col, k, bands, shingle_n)
     sizes = stacked.groupBy("band_no", "bh").agg(F.count(F.lit(1)).alias("sz"))
     cap = max_bucket_size if max_bucket_size is not None else None
     row = sizes.agg(

@@ -91,19 +91,43 @@ class WindowImages:
     computes its own window, exactly as before.
 
     Pass one instance to every sync of the same upstream within one
-    driver run; do NOT reuse across upstream commits (keys include the
-    window, so stale entries are never served — they just hold memory)."""
+    driver run, and ``release()`` it after the batch's last view syncs
+    (deterministic executor-memory release — GC would get there
+    eventually, but not between thousands of micro-batches). Do NOT
+    reuse across upstream commits (keys include the window, so stale
+    entries are never served — they just hold memory).
+
+    Bootstrap windows (``since == 0``) are NOT materialized: there the
+    post-image IS the whole corpus, and caching it would write a
+    corpus-sized copy before any view does its one-time full build —
+    each view streams its own scan instead."""
 
     def __init__(self, src: LakeTable):
         self.src = src
         self._cache: dict = {}
+        self._pinned: list[DataFrame] = []
 
     def get(self, since: int, cur: int):
         w = (since, cur)
         if w not in self._cache:
             key = self.src.snapshot().key_field
             ch = self.src.changes(since_version=since, to_version=cur)
-            changed = ch.select(key).distinct().localCheckpoint()
+            changed = ch.select(key).distinct().persist()
+            self._pinned.append(changed)
+            # the PRE-image read resolves bucket ids against the layout
+            # AT `since` — a tolerated in-window rebucket means the
+            # current layout's ids don't exist in the old snapshot, and
+            # pruning with them would silently drop retractions
+            pre_n = self.src.snapshot(since).n_buckets if since > 0 else None
+            dirty_pre = sorted(
+                r["b"]
+                for r in changed.select(
+                    self.src.bucket_expr(F.col(key), n_buckets=pre_n)
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            ) if since > 0 else []
             dirty = sorted(
                 r["b"]
                 for r in changed.select(
@@ -112,18 +136,26 @@ class WindowImages:
                 .distinct()
                 .collect()
             )
-            pre = (
-                self.src.read(version=since, buckets=dirty)
-                .join(changed, on=key, how="semi")
-                .localCheckpoint()
+            pre = self.src.read(version=since, buckets=dirty_pre).join(
+                changed, on=key, how="semi"
             )
-            post = (
-                self.src.read(version=cur, buckets=dirty)
-                .join(changed, on=key, how="semi")
-                .localCheckpoint()
+            post = self.src.read(version=cur, buckets=dirty).join(
+                changed, on=key, how="semi"
             )
+            if since > 0:  # steady state: O(change) frames, worth caching
+                pre = pre.persist()
+                post = post.persist()
+                self._pinned.extend([pre, post])
             self._cache[w] = (changed, dirty, pre, post)
         return self._cache[w]
+
+    def release(self) -> None:
+        """Unpersist every cached frame; the instance stays usable (a
+        later get() recomputes)."""
+        for df in self._pinned:
+            df.unpersist()
+        self._pinned.clear()
+        self._cache.clear()
 
 
 def sync_derived_rows(
@@ -149,20 +181,31 @@ def sync_derived_rows(
     cur = src.snapshot().version
     if cur <= since:
         return MirrorResult(from_version=since, to_version=since, skipped=True)
-    _changed, _dirty, pre, post = (images or WindowImages(src)).get(since, cur)
-    out_cols = dst.schema().fieldNames()
-    batch = derive(pre).select(
-        *out_cols,
-        F.lit(2 * cur).cast("long").alias("seq"),
-        F.lit("d").alias("op"),
-    ).unionByName(
-        derive(post).select(
-            *out_cols,
-            F.lit(2 * cur + 1).cast("long").alias("seq"),
-            F.lit("u").alias("op"),
+    if images is not None and images.src.root != src.root:
+        raise ValueError(
+            f"WindowImages was built on {images.src.root}, not {src.root} — "
+            "a shared window cache serves exactly one upstream"
         )
-    )
-    merge_batch(dst, batch, batch_id=f"v{cur}", job_id=job_id)
+    own = images is None
+    imgs = images or WindowImages(src)
+    try:
+        _changed, _dirty, pre, post = imgs.get(since, cur)
+        out_cols = dst.schema().fieldNames()
+        batch = derive(pre).select(
+            *out_cols,
+            F.lit(2 * cur).cast("long").alias("seq"),
+            F.lit("d").alias("op"),
+        ).unionByName(
+            derive(post).select(
+                *out_cols,
+                F.lit(2 * cur + 1).cast("long").alias("seq"),
+                F.lit("u").alias("op"),
+            )
+        )
+        merge_batch(dst, batch, batch_id=f"v{cur}", job_id=job_id)
+    finally:
+        if own:
+            imgs.release()
     return MirrorResult(from_version=since, to_version=cur)
 
 
@@ -213,13 +256,18 @@ def sync_aggregate(
     cur = src.snapshot().version
     if cur <= since:
         return MirrorResult(from_version=since, to_version=since, skipped=True)
-    # the (changed, dirty-bucket, pre/post image) frames are checkpointed
-    # once per window and shared with every other view syncing this
-    # upstream (see WindowImages) — the changes() scan, the distinct and
-    # the two reconcile reads run once, not once per view
-    _changed, _dirty, pre_img, post_img = (
-        images or WindowImages(src)
-    ).get(since, cur)
+    if images is not None and images.src.root != src.root:
+        raise ValueError(
+            f"WindowImages was built on {images.src.root}, not {src.root} — "
+            "a shared window cache serves exactly one upstream"
+        )
+    # the (changed, dirty-bucket, pre/post image) frames are cached once
+    # per window and shared with every other view syncing this upstream
+    # (see WindowImages) — the changes() scan, the distinct and the two
+    # reconcile reads run once, not once per view
+    own = images is None
+    imgs = images or WindowImages(src)
+    _changed, _dirty, pre_img, post_img = imgs.get(since, cur)
     cols = [group_col, *sum_cols]
 
     def _image(img: DataFrame, sign: int) -> DataFrame:
@@ -276,4 +324,6 @@ def sync_aggregate(
         merge_batch(dst, merged, batch_id=f"v{cur}", job_id=job_id)
     finally:
         delta.unpersist()
+        if own:
+            imgs.release()
     return MirrorResult(from_version=since, to_version=cur)

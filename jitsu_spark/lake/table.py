@@ -570,10 +570,14 @@ class LakeTable:
         against the new count automatically (bucket_expr reads the
         snapshot). MoR deltas are folded into base during the rewrite.
 
-        Like compaction, a rebucket breaks ``changes()`` ranges that cross
-        it — sync downstream consumers first (consume-before-compact
-        applies to resizes too). Retries on commit conflict, recomputing
-        from a fresh snapshot."""
+        Like compaction, a rebucket folds delta files — a ``changes()``
+        window is legal across it only when every in-window merge comes
+        AFTER it (a fully-caught-up consumer; a lagging one still raises,
+        see ``changes()``). Consumers reading pre-images at an older
+        version must resolve bucket ids against THAT version's layout
+        (``snapshot(v).n_buckets``), as ``lake/mirror.WindowImages``
+        does — current-layout ids don't exist in the old snapshot.
+        Retries on commit conflict, recomputing from a fresh snapshot."""
         if factor < 2:
             raise ValueError("factor must be >= 2")
         return self._retry_commit(lambda: self._rebucket_once(factor))

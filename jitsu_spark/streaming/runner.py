@@ -158,9 +158,15 @@ class CdcStreamJob:
 
                 compact_manifest(self.table)
                 if self.expire_snapshots_keep:
+                    # a cadence batch can append up to TWO maintenance
+                    # commits (compact + manifest_compact) AFTER the merge
+                    # a post_commit consumer just synced to — its next
+                    # window's pre-image read needs that merge's snapshot
+                    # descriptor, so the floor is merge+compact+
+                    # manifest_compact+headroom, not the plain-reader 2
                     expire_snapshots(
                         self.table,
-                        keep_last=max(self.expire_snapshots_keep, 2),
+                        keep_last=max(self.expire_snapshots_keep, 4),
                     )
 
     def run_available_now(self, spark: SparkSession, timeout_s: int = 600) -> list[MergeResult]:

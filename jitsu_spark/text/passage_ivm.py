@@ -229,8 +229,17 @@ class PassageDedupView:
             .select(key).distinct().persist()
         )
         dbk = self._buckets(src, changed, key)
+        # pre-image bucket ids resolve against the layout AT `lo` (an
+        # in-window rebucket otherwise makes the prune drop retractions)
+        pre_n = src.snapshot(lo).n_buckets if lo > 0 else None
+        dbk_pre = sorted(
+            r["b"]
+            for r in changed.select(
+                src.bucket_expr(F.col(key), n_buckets=pre_n).alias("b")
+            ).distinct().collect()
+        ) if lo > 0 else []
         pre = (
-            src.read(version=lo, buckets=dbk)
+            src.read(version=lo, buckets=dbk_pre)
             .join(changed, on=key, how="semi")
             .select(key, F.col(text_col).alias("text"))
         )

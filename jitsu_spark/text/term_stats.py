@@ -156,38 +156,43 @@ def sync_corpus_stats(
     ``images`` to extend the sharing to further views of the same
     upstream synced in the same run."""
     key = id_col or src.snapshot().key_field
+    own = images is None
     images = images or WindowImages(src)
-    out = {
-        "stats": sync_aggregate(
-            src,
-            tables["stats"],
-            "token",
-            sum_cols=["tf"],
-            count_col="df",
-            job_id=job_id,
-            row_transform=term_rows(key, text_col),
-            images=images,
-        ),
-        "meta": sync_aggregate(
-            src,
-            tables["meta"],
-            "scope",
-            count_col="n_docs",
-            job_id=job_id,
-            row_transform=corpus_rows(text_col),
-            images=images,
-        ),
-    }
-    if "bigrams" in tables:
-        out["bigrams"] = sync_aggregate(
-            src,
-            tables["bigrams"],
-            "bigram",
-            count_col="c",
-            job_id=job_id,
-            row_transform=bigram_rows(key, text_col),
-            images=images,
-        )
+    try:
+        out = {
+            "stats": sync_aggregate(
+                src,
+                tables["stats"],
+                "token",
+                sum_cols=["tf"],
+                count_col="df",
+                job_id=job_id,
+                row_transform=term_rows(key, text_col),
+                images=images,
+            ),
+            "meta": sync_aggregate(
+                src,
+                tables["meta"],
+                "scope",
+                count_col="n_docs",
+                job_id=job_id,
+                row_transform=corpus_rows(text_col),
+                images=images,
+            ),
+        }
+        if "bigrams" in tables:
+            out["bigrams"] = sync_aggregate(
+                src,
+                tables["bigrams"],
+                "bigram",
+                count_col="c",
+                job_id=job_id,
+                row_transform=bigram_rows(key, text_col),
+                images=images,
+            )
+    finally:
+        if own:
+            images.release()
     return out
 
 

@@ -296,6 +296,7 @@ def test_shared_window_images_across_views(spark, tmpdir_path):
         passages.sync(src, images=img)
         if i != 1:  # chunk view skips round 1 -> lags, heals on round 2
             sync_chunks(src, chunks, images=img)
+        img.release()
     assert _actual_pairs(index) == _expected_pairs(src)
     want_pass = {
         (r["doc_id"], r["n_passages"], r["n_kept"], r["clean_text"])
@@ -333,3 +334,77 @@ def test_shared_window_images_across_views(spark, tmpdir_path):
         for r in stats["stats"].read().collect()
     }
     assert got_stats == want_stats
+
+
+def test_sync_window_crosses_rebucket(spark, tmpdir_path):
+    """A background rebucket lands between two syncs: the next window's
+    PRE-image read must resolve bucket ids against the OLD layout (the
+    current layout's ids don't exist in the old snapshot — pruning with
+    them would silently drop retractions). Updates of pre-rebucket docs
+    must fully retract their stale derived rows."""
+    from jitsu_spark.lake.mirror import WindowImages
+    from jitsu_spark.text.chunk import chunk_documents
+    from jitsu_spark.text.chunk_ivm import create_chunk_table, sync_chunks
+
+    src = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "src"), DOC_SCHEMA, "doc_id",
+        n_buckets=4, properties={"write.mode": "mor"},
+    )
+    index = create_lsh_index(
+        spark, os.path.join(tmpdir_path, "ix"),
+        k=K, bands=BANDS, shingle_n=NGRAM, n_buckets=8,
+    )
+    chunks = create_chunk_table(
+        spark, os.path.join(tmpdir_path, "ch"), window=4, stride=3,
+        n_buckets=8,
+    )
+    rng = random.Random(19)
+    docs = [(i, _text(rng, 10), "u") for i in range(1, 17)]
+    _apply(src, spark, docs, 0)
+    img = WindowImages(src)
+    sync_lsh_index(src, index, images=img)
+    sync_chunks(src, chunks, images=img)
+    img.release()
+
+    src.rebucket(factor=4)  # 4 -> 16 buckets, folds deltas
+
+    # update docs whose pre-images live under the OLD layout, delete one,
+    # shrink another (chunk retraction beyond the new chunk count)
+    _apply(src, spark, [
+        (1, _text(rng, 12), "u"), (2, None, "d"), (3, _text(rng, 3), "u"),
+        (17, _text(rng, 10), "u"),
+    ], 20)
+    img = WindowImages(src)
+    sync_lsh_index(src, index, images=img)
+    sync_chunks(src, chunks, images=img)
+    img.release()
+
+    assert _actual_pairs(index) == _expected_pairs(src)
+    cur = src.read().select("doc_id", "text")
+    got = {
+        (r["doc_id"], r["chunk_no"], r["chunk_text"])
+        for r in chunks.read().collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_no"], r["chunk_text"])
+        for r in chunk_documents(cur, 4, 3).collect()
+    }
+    assert got == want
+    # no stale index rows for the deleted doc
+    assert not any(
+        r["doc"] == 2 for r in index.read().select("doc").collect()
+    )
+
+
+def test_shared_images_reject_wrong_upstream(spark, tmpdir_path):
+    from jitsu_spark.lake.mirror import WindowImages
+
+    a = _mk_src(spark, os.path.join(tmpdir_path, "a"))
+    b = _mk_src(spark, os.path.join(tmpdir_path, "b"))
+    index = create_lsh_index(
+        spark, os.path.join(tmpdir_path, "ix"),
+        k=K, bands=BANDS, shingle_n=NGRAM, n_buckets=8,
+    )
+    _apply(b, spark, [(1, "alpha beta gamma delta", "u")], 0)
+    with pytest.raises(ValueError, match="one upstream"):
+        sync_lsh_index(b, index, images=WindowImages(a))

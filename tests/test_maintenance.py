@@ -725,6 +725,10 @@ def test_mirror_sync_survives_in_stream_compaction(spark, tmpdir_path):
         job_id="compmir",
         compact_every_n_batches=1,  # fold after EVERY batch — worst case
         compact_max_files_per_bucket=1,
+        # keep=2 would expire the merge snapshot the mirror's next window
+        # reads as its pre-image base (compact + manifest_compact commits
+        # land after it) — the runner clamps to >= 4 for exactly this
+        expire_snapshots_keep=2,
         post_commit=lambda bid: sync_mirror(table, mirror),
     )
     job.run_available_now(spark)

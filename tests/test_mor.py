@@ -298,9 +298,12 @@ def test_sync_aggregate_incremental_view_maintenance(spark, tmpdir_path):
     assert dst.snapshot().version == v
 
     # O(changed), not O(table): every upstream read was bucket-pruned
+    # (buckets=[] is the bootstrap pre-image at version 0 — scan NOTHING,
+    # the strictest prune; None would mean an unpruned full read)
     assert read_buckets and all(
-        b is not None and 0 < len(b) < 8 for b in read_buckets
+        b is not None and len(b) < 8 for b in read_buckets
     ), read_buckets
+    assert any(b for b in read_buckets)  # steady windows do prune to >0
 
 
 def test_cdc_stream_chains_downstream_aggregate(spark, tmpdir_path):

@@ -86,10 +86,13 @@ def test_tokens_stack_stays_fresh_through_stream(spark, tmpdir_path):
 
     def sync_all(batch_id):
         img = WindowImages(table)
-        sync_corpus_stats(table, stats, images=img)
-        sync_lsh_index(table, index, images=img)
-        sync_chunks(table, chunks, images=img)
-        passages.sync(table, images=img)
+        try:
+            sync_corpus_stats(table, stats, images=img)
+            sync_lsh_index(table, index, images=img)
+            sync_chunks(table, chunks, images=img)
+            passages.sync(table, images=img)
+        finally:
+            img.release()
 
     def make_job():
         return CdcStreamJob(

@@ -137,6 +137,7 @@ def main() -> None:
         t0 = time.monotonic()
         sync(img)
         boot[name] = round(time.monotonic() - t0, 3)
+    img.release()
     results["bootstrap_s"] = boot
 
     # JITSU_IVM_COMPACT=1: fold every MoR delta back into base between
@@ -180,6 +181,7 @@ def main() -> None:
             t0 = time.monotonic()
             sync(img)
             inc[name].append(round(time.monotonic() - t0, 3))
+        img.release()
 
     # full-recompute comparators over the upstream's CURRENT state (what
     # a batch pipeline re-runs every cycle), min-of-3 in the same JVM
