@@ -452,7 +452,11 @@ def _doc_cdc_batches(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     so every incremental view's oracle is a plain full recompute. The
     bogus set is a fixed predicate — inserted in b1 and deleted in b2,
     the two frames MUST select the identical docs (limit(N) without an
-    order is not deterministic across evaluations)."""
+    order is not deterministic across evaluations). Bogus ids shift by
+    10^10 — far past the replica id space of the inflated corpora
+    (gen_sf1 / bench tools use doc_id + rep*10M), where a collision
+    would make b2 delete REAL docs (caught at sf1-equivalent: all
+    CDC-history IVM queries lost exactly the collided docs)."""
     m3 = F.col("doc_id") % 3
     bogus = (m3 == 0) & (F.col("doc_id") < 60)
     seq_op = lambda s: [F.lit(s).cast("long").alias("seq"), F.lit("u").alias("op")]  # noqa: E731
@@ -469,7 +473,7 @@ def _doc_cdc_batches(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         )
         .unionByName(
             d.filter(bogus).select(
-                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                (F.col("doc_id") + 10_000_000_000).alias("doc_id"),
                 F.lit("bogus shared boilerplate row").alias("text"),
                 *seq_op(2),
             )
@@ -479,7 +483,7 @@ def _doc_cdc_batches(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         d.filter(m3 == 2).select("doc_id", "text", *seq_op(3))
         .unionByName(
             d.filter(bogus).select(
-                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                (F.col("doc_id") + 10_000_000_000).alias("doc_id"),
                 F.lit(None).cast("string").alias("text"),
                 F.lit(3).cast("long").alias("seq"),
                 F.lit("d").alias("op"),
