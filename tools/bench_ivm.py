@@ -16,8 +16,10 @@ over n_batches steady-state syncs (distinct deltas of equal size — the
 state mutates, so reps are across batches, not re-runs), full-recompute
 comparators min-of-3 in the same JVM, noop-write forcing.
 
-Usage: python tools/bench_ivm.py [docs_scale] [delta_docs] [n_batches] [cpus]
-       (defaults: 40 1000 3 8 — ~200k docs from sf0.1, 0.5% deltas)
+Usage: python tools/bench_ivm.py [docs_scale] [delta_docs] [n_batches] [cpus] [n_buckets]
+       (defaults: 40 1000 3 8 64 — ~200k docs from sf0.1, 0.5% deltas;
+       bucket pruning needs changed keys << n_buckets to bite, so pair a
+       small delta with a high bucket count to see the production regime)
 Prints one JSON line.
 """
 
@@ -48,6 +50,7 @@ def main() -> None:
     delta_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     cpus = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    n_buckets = int(sys.argv[5]) if len(sys.argv) > 5 else 64
 
     from jitsu_spark.dedup.lsh_index import create_lsh_index, sync_lsh_index
     from jitsu_spark.dedup.minhash import band_rows
@@ -95,7 +98,7 @@ def main() -> None:
 
     up = LakeTable.create(
         spark, os.path.join(work, "up"), DOC_SCHEMA, "doc_id",
-        n_buckets=64, properties={"write.mode": "mor"},
+        n_buckets=n_buckets, properties={"write.mode": "mor"},
     )
     merge_batch(
         up,
@@ -107,13 +110,13 @@ def main() -> None:
         job_id="up",
     )
 
-    stats = create_corpus_stats(spark, os.path.join(work, "stats"), n_buckets=64)
+    stats = create_corpus_stats(spark, os.path.join(work, "stats"), n_buckets=n_buckets)
     index = create_lsh_index(
         spark, os.path.join(work, "lsh"), k=8, bands=4, shingle_n=3,
-        n_buckets=64,
+        n_buckets=n_buckets,
     )
     passages = PassageDedupView.create(
-        spark, os.path.join(work, "pass"), window=10, n_buckets=64,
+        spark, os.path.join(work, "pass"), window=10, n_buckets=n_buckets,
     )
     # one WindowImages per upstream commit, shared by ALL views — the
     # composed-deployment shape: N views of one CDC table, ONE window scan
@@ -127,6 +130,7 @@ def main() -> None:
         "n_docs": n_docs, "delta_docs": delta_docs,
         "n_batches": n_batches, "cpus": cpus,
         "delta_pct": round(100.0 * delta_docs / n_docs, 3),
+        "n_buckets": n_buckets,
         "compact_between_batches": os.environ.get("JITSU_IVM_COMPACT") == "1",
     }
 
