@@ -807,12 +807,13 @@ def q_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced curation: assign every embedding to its nearest
-    deterministic sampled centroid, cap each semantic cluster at 10
-    members via a salted md5 rank (SemDeDup-style rebalancing)."""
+    deterministic hash-sampled centroid (64 centroids — count independent
+    of corpus size), cap each semantic cluster at 10 members via a salted
+    md5 rank (SemDeDup-style rebalancing)."""
     from jitsu_spark.similarity.curation import cluster_balanced_sample
 
     e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return cluster_balanced_sample(e, "vec_id", cap=10, seed=4)
+    return cluster_balanced_sample(e, "vec_id", cap=10, n_centroids=64, seed=4)
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,15 +953,16 @@ def q_conversion_send(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic sampled-centroid coarse quantizer, n_probe
-    cells, exact re-rank (the second scale path next to LSH)."""
+    """IVF ANN: deterministic hash-sampled coarse quantizer (64 centroids
+    — count independent of corpus size), n_probe cells, exact re-rank
+    (the second scale path next to LSH)."""
     from jitsu_spark.similarity import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return ivf_topk(
         queries, emb, "vec_id", "vec_id", "embedding",
-        k=5, centroid_stride=25, n_probe=3,
+        k=5, n_centroids=64, n_probe=3,
     )
 
 
@@ -2535,7 +2537,8 @@ def oracle_sql() -> dict[str, str]:
                    ) - 1 AS BIGINT) AS pos_in_shard
             FROM t
         """,
-        # cluster-balanced curation: nearest sampled centroid (6dp-rounded
+        # cluster-balanced curation: nearest hash-sampled centroid
+        # (64 centroids = the smallest md5('cent#'||id) draws; 6dp-rounded
         # argmax, centroid-id tiebreak), salted-md5 rank cap per cluster
         "cluster_balanced": """
             WITH e AS (
@@ -2543,7 +2546,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             cent AS (
                 SELECT vec_id AS cent_id, v AS cvec FROM e
-                WHERE vec_id % 25 = 0
+                ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)) ASC,
+                         vec_id ASC
+                LIMIT 64
             ),
             assigned AS (
                 SELECT vec_id, cent_id AS cluster FROM (
@@ -2870,7 +2875,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             cent AS (
                 SELECT vec_id AS cent_id, v AS cvec FROM e
-                WHERE vec_id % 25 = 0
+                ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)) ASC,
+                         vec_id ASC
+                LIMIT 64
             ),
             c_assign AS (
                 SELECT vec_id, cent_id FROM (

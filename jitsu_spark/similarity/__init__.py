@@ -4,6 +4,16 @@ from jitsu_spark.similarity.ann import (
     embedding_near_dups,
     ivf_topk,
     kmeans_centroids,
+    nearest_centroid,
+    sampled_centroids,
 )
 
-__all__ = ["cosine_topk", "cosine_topk_lsh", "embedding_near_dups", "ivf_topk", "kmeans_centroids"]
+__all__ = [
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "embedding_near_dups",
+    "ivf_topk",
+    "kmeans_centroids",
+    "nearest_centroid",
+    "sampled_centroids",
+]

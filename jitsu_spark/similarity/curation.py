@@ -6,18 +6,20 @@ rebalances it — capping over-represented semantic clusters instead of
 sampling uniformly. This module provides the two primitives:
 
 - :func:`assign_clusters` — every vector's nearest coarse centroid
-  (same deterministic sampled-centroid quantizer as ``ivf_topk``, so the
+  (same deterministic hash-sampled quantizer as ``ivf_topk``, so the
   assignment is oracle-checkable in pure SQL; swap in
   ``kmeans_centroids`` for tighter cells);
 - :func:`cluster_balanced_sample` — keep at most ``cap`` vectors per
   cluster, chosen by a salted md5-uniform rank (deterministic across
   reruns/partitionings, unbiased within cluster).
 
-Scale shape: assignment is a broadcast crossJoin against the ~sqrt(N)
-centroid set with the JVM-side cosine fold (the standard IVF build
-cost); the per-cluster cap is a window partitioned by cluster — with
-sqrt(N) centroids each partition is ~sqrt(N) rows, so the sort
-parallelizes across clusters and no reducer sees the corpus.
+Scale shape: the centroid count is INDEPENDENT of corpus size
+(``n_centroids``, default isqrt(N) via ``sampled_centroids``) and the
+argmax is a partial-combining ``min_by`` aggregate, so assignment costs
+O(N*C*d) compute with an O(N)-row shuffle — never the N*C pair shuffle
+of a row_number window. The per-cluster cap is a window partitioned by
+cluster; with the sqrt(N) default each partition is ~sqrt(N) rows, so
+the sort parallelizes across clusters and no reducer sees the corpus.
 """
 
 from __future__ import annotations
@@ -26,45 +28,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from jitsu_spark.similarity.ann import cosine_expr
+from jitsu_spark.similarity.ann import nearest_centroid, sampled_centroids
 
 
 def assign_clusters(
     df: DataFrame,
     id_col: str,
     vec_col: str = "embedding",
-    centroid_stride: int = 25,
+    n_centroids: int | None = None,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cluster, cluster_sim): each vector's nearest centroid by
     cosine (6dp-rounded before the argmax so float epsilons cannot flip
     assignment across engines; ties break on centroid id)."""
-    if centroids is not None:
-        cent = F.broadcast(centroids.select("_cent_id", "_cent_vec"))
-    else:
-        cent = F.broadcast(
-            df.filter((F.col(id_col) % centroid_stride) == 0).select(
-                F.col(id_col).alias("_cent_id"),
-                F.col(vec_col).alias("_cent_vec"),
-            )
-        )
-    sims = df.select(F.col(id_col), F.col(vec_col).alias("_v")).crossJoin(
-        cent
-    ).select(
-        id_col,
-        "_cent_id",
-        F.round(cosine_expr(F.col("_v"), F.col("_cent_vec")), 6).alias("_cs"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("_cent_id"))
-    return (
-        sims.withColumn("_cr", F.row_number().over(w))
-        .filter(F.col("_cr") == 1)
-        .select(
-            id_col,
-            F.col("_cent_id").alias("cluster"),
-            F.col("_cs").alias("cluster_sim"),
-        )
-    )
+    if centroids is None:
+        centroids = sampled_centroids(df, id_col, vec_col, n_centroids)
+    return nearest_centroid(df, id_col, vec_col, centroids)
 
 
 def cluster_balanced_sample(
@@ -72,7 +51,7 @@ def cluster_balanced_sample(
     id_col: str,
     vec_col: str = "embedding",
     cap: int = 10,
-    centroid_stride: int = 25,
+    n_centroids: int | None = None,
     seed: int = 0,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
@@ -82,7 +61,7 @@ def cluster_balanced_sample(
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
-    assigned = assign_clusters(df, id_col, vec_col, centroid_stride, centroids)
+    assigned = assign_clusters(df, id_col, vec_col, n_centroids, centroids)
     pick = F.md5(
         F.concat_ws(
             "#", F.lit(f"cursample:{seed}"), F.col(id_col).cast("string")

@@ -347,3 +347,21 @@ def test_passage_dedup_no_window_partial_min(spark):
     plan = plan_of(dedup_passages(df, window=10))
     assert "Window" not in plan
     assert "partial_min" in plan
+
+
+def test_cluster_assignment_partial_min_by_no_window(spark):
+    """Coarse-quantizer cell assignment must be the partial-combining
+    min_by(struct) aggregate over a broadcast of the fixed-size centroid
+    set — never a row_number window over the N*C sim pairs (that shape
+    shuffled and sorted N*C rows; at centroids=N/25 it was the measured
+    O(N^2) scale-killer of BENCH_r05 cluster_balanced_10x = 262 s)."""
+    from jitsu_spark.similarity.curation import assign_clusters
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = plan_of(assign_clusters(df, "vec_id", n_centroids=4))
+    assert "Window" not in plan
+    assert "partial_min_by" in plan
+    assert "BroadcastNestedLoopJoin" in plan

@@ -202,13 +202,12 @@ def test_ivf_topk_full_probe_equals_exact(spark, embeddings):
             queries, embeddings, "vec_id", "vec_id", "embedding", k=5
         ).collect()
     }
-    stride = 10
-    n_cells = embeddings.filter((F.col("vec_id") % stride) == 0).count()
+    n_cells = 10
     full = {
         (r["vec_id_q"], r["vec_id_c"])
         for r in ivf_topk(
             queries, embeddings, "vec_id", "vec_id", "embedding",
-            k=5, centroid_stride=stride, n_probe=n_cells,
+            k=5, n_centroids=n_cells, n_probe=n_cells,
         ).collect()
     }
     assert full == exact
@@ -216,7 +215,7 @@ def test_ivf_topk_full_probe_equals_exact(spark, embeddings):
         (r["vec_id_q"], r["vec_id_c"])
         for r in ivf_topk(
             queries, embeddings, "vec_id", "vec_id", "embedding",
-            k=5, centroid_stride=stride, n_probe=3,
+            k=5, n_centroids=n_cells, n_probe=3,
         ).collect()
     }
     recall = len(probed & exact) / len(exact)
@@ -524,12 +523,23 @@ def test_cluster_assign_and_balanced_sample(spark, embeddings):
         cluster_balanced_sample,
     )
 
+    from jitsu_spark.similarity import sampled_centroids
+
     e = embeddings.select("vec_id", "embedding")
     a = assign_clusters(e, "vec_id").cache()
-    # exactly one cluster per vector; centroids land in their own cluster
+    # exactly one cluster per vector; the default centroid count is
+    # isqrt(N), independent of any stride knob
     assert a.count() == e.count()
     assert a.groupBy("vec_id").count().filter("count != 1").count() == 0
-    own = a.filter(F.col("vec_id") % 25 == 0)
+    cent_ids = {
+        r["_cent_id"] for r in sampled_centroids(e, "vec_id").collect()
+    }
+    import math
+
+    assert len(cent_ids) == math.isqrt(e.count())
+    # centroids land in their own cluster with sim ~1
+    own = a.filter(F.col("vec_id").isin(*cent_ids))
+    assert own.count() == len(cent_ids)
     assert own.filter(F.col("cluster") != F.col("vec_id")).count() == 0
     assert own.filter(F.col("cluster_sim") < 0.999999).count() == 0
 
