@@ -114,10 +114,13 @@ class WindowImages:
             ch = self.src.changes(since_version=since, to_version=cur)
             changed = ch.select(key).distinct().persist()
             self._pinned.append(changed)
-            # the PRE-image read resolves bucket ids against the layout
-            # AT `since` — a tolerated in-window rebucket means the
-            # current layout's ids don't exist in the old snapshot, and
-            # pruning with them would silently drop retractions
+            # BOTH image reads resolve bucket ids against the layout of
+            # the snapshot they are pinned to — `since` for the
+            # pre-image, `cur` for the post-image. A tolerated in-window
+            # rebucket (or one committed concurrently after `cur` was
+            # captured) means the CURRENT layout's ids don't match the
+            # pinned snapshot's files, and pruning with them would
+            # silently drop retractions/assertions.
             pre_n = self.src.snapshot(since).n_buckets if since > 0 else None
             dirty_pre = sorted(
                 r["b"]
@@ -128,10 +131,12 @@ class WindowImages:
                 .distinct()
                 .collect()
             ) if since > 0 else []
+            post_n = self.src.snapshot(cur).n_buckets
             dirty = sorted(
                 r["b"]
                 for r in changed.select(
-                    self.src.bucket_expr(F.col(key)).alias("b")
+                    self.src.bucket_expr(F.col(key), n_buckets=post_n)
+                    .alias("b")
                 )
                 .distinct()
                 .collect()

@@ -165,8 +165,11 @@ class Task:
     not_before: datetime | None = None
 
     @property
-    def key(self) -> str:
-        return f"{self.source}_{self.collection}"
+    def key(self) -> tuple[str, str]:
+        # keyed on the TUPLE, never an ambiguous joined string:
+        # ("a_b","c") and ("a","b_c") must not collide in dedup,
+        # double-schedule detection, or the running lock
+        return (self.source, self.collection)
 
 
 @dataclass
@@ -186,9 +189,9 @@ class SyncScheduler:
 
     def __init__(self, start: datetime):
         self._start = start
-        self._entries: dict[str, _Entry] = {}
+        self._entries: dict[tuple[str, str], _Entry] = {}
         self._queue: list[Task] = []
-        self._running: set[str] = set()
+        self._running: set[tuple[str, str]] = set()
         self.history: list[tuple[datetime, str, str, int]] = []
 
     # -- registration ---------------------------------------------------
@@ -200,7 +203,7 @@ class SyncScheduler:
         timing: str,
         fn: Callable[[str, str, int], None],
     ) -> None:
-        key = f"{source}_{collection}"
+        key = (source, collection)
         if key in self._entries:
             e = self._entries[key]
             raise ValueError(
@@ -213,7 +216,7 @@ class SyncScheduler:
         )
 
     def remove(self, source: str, collection: str) -> None:
-        self._entries.pop(f"{source}_{collection}", None)
+        self._entries.pop((source, collection), None)
 
     # -- queue ------------------------------------------------------------
 
@@ -227,7 +230,7 @@ class SyncScheduler:
 
     def sync_now(self, source: str, collection: str, now: datetime) -> bool:
         """Manual trigger — NOW priority, same dedup rules."""
-        if f"{source}_{collection}" not in self._entries:
+        if (source, collection) not in self._entries:
             raise KeyError(f"unknown source/collection: {source}/{collection}")
         return self._enqueue(Task(source, collection, Priority.NOW, now))
 
@@ -288,7 +291,7 @@ class SyncScheduler:
 
     # -- introspection --------------------------------------------------------
 
-    def next_runs(self) -> dict[str, datetime]:
+    def next_runs(self) -> dict[tuple[str, str], datetime]:
         return {k: e.next_run for k, e in self._entries.items()}
 
     def queued(self) -> list[Task]:

@@ -99,9 +99,27 @@ def sync_chunks(
             docs.select(key, text_col), p["window"], p["stride"],
             id_col=key, text_col=text_col,
         )
+        # the bucket.prefix_sep contract (table.py) requires the prefix
+        # component to never contain the separator — md5-keyed tables
+        # (passage/LSH index) guarantee that by construction, but here
+        # the prefix is the CALLER's doc id: a string id containing SEP
+        # would silently hash a different prefix than probe pruning
+        # expects, so fail loudly at derive time instead
+        kstr = F.col(key).cast("string")
+        kchecked = F.when(
+            kstr.contains(SEP),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"chunk table key prefix must not contain {SEP!r}: "
+                    ),
+                    kstr,
+                )
+            ),
+        ).otherwise(kstr)
         return ch.select(
             F.concat(
-                F.col(key).cast("string"), F.lit(SEP),
+                kchecked, F.lit(SEP),
                 F.col("chunk_no").cast("string"),
             ).alias("ck"),
             key,

@@ -202,10 +202,22 @@ class PassageDedupView:
             "passage",
         )
 
-    def _buckets(self, table: LakeTable, df: DataFrame, col: str) -> list[int]:
+    def _buckets(
+        self,
+        table: LakeTable,
+        df: DataFrame,
+        col: str,
+        n_buckets: int | None = None,
+    ) -> list[int]:
+        """Distinct bucket ids of ``df[col]``. Pass ``n_buckets`` from the
+        snapshot a read is PINNED to whenever that read uses ``version=``
+        — resolving against the current layout while reading an older
+        pinned snapshot silently mis-prunes across a rebucket."""
         return sorted(
             r["b"]
-            for r in df.select(table.bucket_expr(F.col(col)).alias("b"))
+            for r in df.select(
+                table.bucket_expr(F.col(col), n_buckets=n_buckets).alias("b")
+            )
             .distinct()
             .collect()
         )
@@ -228,9 +240,12 @@ class PassageDedupView:
             src.changes(since_version=lo, to_version=cur)
             .select(key).distinct().persist()
         )
-        dbk = self._buckets(src, changed, key)
-        # pre-image bucket ids resolve against the layout AT `lo` (an
-        # in-window rebucket otherwise makes the prune drop retractions)
+        # bucket ids resolve against the layout of the snapshot each read
+        # is pinned to — `cur` for the post-image, `lo` for the pre-image
+        # (an in-window or concurrent rebucket otherwise makes the prune
+        # drop retractions/assertions)
+        dbk = self._buckets(src, changed, key,
+                            n_buckets=src.snapshot(cur).n_buckets)
         pre_n = src.snapshot(lo).n_buckets if lo > 0 else None
         dbk_pre = sorted(
             r["b"]
@@ -285,7 +300,14 @@ class PassageDedupView:
                     src, lo, cur, key, text_col, images=images
                 )
                 post = post.persist()
-                pinned.extend([ch, post])
+                pinned.append(post)
+                if images is None:
+                    # only pin frames THIS sync created: with a shared
+                    # WindowImages, `ch` is the cross-view cached frame —
+                    # unpersisting it here would silently defeat the
+                    # cache for every view that syncs after this one
+                    # (its lifecycle belongs to WindowImages.release())
+                    pinned.append(ch)
                 win_cache[lo] = (ch, pre, post)
             return win_cache[lo]
 
@@ -430,11 +452,16 @@ class PassageDedupView:
             dirty3 = get_dirty(res_since)
             wbk3 = self._buckets(self.winners, dirty3, "passage_h")
             # winners at the version consistent with src@res_since — the
-            # pinned pre-state even on a retry where stage 2 already ran
+            # pinned pre-state even on a retry where stage 2 already ran;
+            # its bucket ids resolve against THAT snapshot's layout
             win_pre_v = _version_after_batch(self.winners, self.job_id,
                                              res_since)
+            wbk3_pre = self._buckets(
+                self.winners, dirty3, "passage_h",
+                n_buckets=self.winners.snapshot(win_pre_v).n_buckets,
+            ) if win_pre_v > 0 else []
             old_w_docs = (
-                self.winners.read(version=win_pre_v, buckets=wbk3)
+                self.winners.read(version=win_pre_v, buckets=wbk3_pre)
                 .join(dirty3, on="passage_h", how="semi")
                 .select(F.col("win_doc").alias("doc"))
             )
@@ -452,7 +479,8 @@ class PassageDedupView:
                 .persist()
             )
             pinned.append(affected)
-            abk = self._buckets(src, affected, key)
+            abk = self._buckets(src, affected, key,
+                                n_buckets=src.snapshot(cur).n_buckets)
             docs_a = (
                 src.read(version=cur, buckets=abk)
                 .join(affected, on=key, how="semi")

@@ -408,3 +408,41 @@ def test_shared_images_reject_wrong_upstream(spark, tmpdir_path):
     _apply(b, spark, [(1, "alpha beta gamma delta", "u")], 0)
     with pytest.raises(ValueError, match="one upstream"):
         sync_lsh_index(b, index, images=WindowImages(a))
+
+
+def test_chunk_table_rejects_key_containing_prefix_separator(spark, tmpdir_path):
+    """The bucket.prefix_sep contract requires the prefix component to be
+    separator-free; a STRING doc id containing '#' would silently hash a
+    different prefix than probe pruning expects, so sync must fail
+    loudly at derive time instead."""
+    from jitsu_spark.text.chunk_ivm import create_chunk_table, sync_chunks
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "src"), schema, "doc_id",
+        n_buckets=4, properties={"write.mode": "mor"},
+    )
+    chunks = create_chunk_table(
+        spark, os.path.join(tmpdir_path, "ch"), window=4, stride=3,
+        key_type=T.StringType(), n_buckets=4,
+    )
+    ok = spark.createDataFrame(
+        [("doc-1", "alpha beta gamma delta epsilon", 0, "u")],
+        "doc_id string, text string, seq long, op string",
+    )
+    merge_batch(src, ok, batch_id="b0", job_id="up")
+    sync_chunks(src, chunks)  # separator-free ids are fine
+    assert chunks.read().count() > 0
+
+    bad = spark.createDataFrame(
+        [("doc#2", "alpha beta gamma delta epsilon", 1, "u")],
+        "doc_id string, text string, seq long, op string",
+    )
+    merge_batch(src, bad, batch_id="b1", job_id="up")
+    with pytest.raises(Exception, match="must not contain"):
+        sync_chunks(src, chunks)

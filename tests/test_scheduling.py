@@ -125,6 +125,24 @@ def test_schedule_dedup_priority_and_removal():
     assert ran[-1] == ("ga", "report", 0) and len(ran) == 2
 
 
+def test_schedule_keys_are_tuples_not_joined_strings():
+    """('a_b','c') and ('a','b_c') join to the same 'a_b_c' string — they
+    must stay distinct pairs for scheduling, dedup, and execution."""
+    ran = []
+    sch = SyncScheduler(start=T0)
+    sch.schedule("a_b", "c", "*/10 * * * *",
+                 lambda s, c, r: ran.append((s, c)))
+    # not a double-schedule: a different (source, collection) pair
+    sch.schedule("a", "b_c", "*/10 * * * *",
+                 lambda s, c, r: ran.append((s, c)))
+    now = T0 + timedelta(minutes=10)
+    sch.tick(now, max_tasks=0)
+    # both pairs enqueue — queue dedup must not collapse them either
+    assert len(sch.queued()) == 2
+    sch.tick(now)
+    assert sorted(ran) == [("a", "b_c"), ("a_b", "c")]
+
+
 def test_retry_backoff_and_cap():
     calls = []
 
