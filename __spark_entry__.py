@@ -1874,12 +1874,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver samples the FIRST 50 entries. Keep the
+    # CDC-core five at the top, then the queries lacking a green row in the
+    # latest CORRECTNESS artifact (r6 rotation: the 25 entries unsampled in
+    # CORRECTNESS_r05, incl. never-sampled jaccard_verify /
+    # embedding_near_dups / singer_tap_sync_mor), then new-this-round
+    # queries, then the r5-green remainder.
     return {
+        # -- CDC core (always sampled) --
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_replay_mor": q_cdc_replay_mor,
         "mor_hot_bucket": q_mor_hot_bucket,
         "cdc_schema_widening": q_schema_widening,
         "time_chunk_resync": q_time_chunk_resync,
+        # -- rotation: unsampled in CORRECTNESS_r05 --
+        "jaccard_verify": q_jaccard_verify,
+        "embedding_near_dups": q_embedding_near_dups,
+        "singer_tap_sync_mor": q_singer_tap_sync_mor,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "lsh_candidates": q_lsh_candidates,
+        "near_dup_components": q_near_dup_components,
+        "near_dup_star": q_near_dup_star,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
+        "transform_fanout": q_transform_fanout,
+        "token_multiplex": q_token_multiplex,
+        "incremental_agg": q_incremental_agg,
+        "cdc_replay_rebucket": q_cdc_replay_rebucket,
+        "lsh_bucket_guard": q_lsh_bucket_guard,
+        "interval_source_sync": q_interval_source_sync,
+        "singer_tap_sync": q_singer_tap_sync,
+        "stats_rollup": q_stats_rollup,
+        "mirror_sync": q_mirror_sync,
+        "snapshot_sync": q_snapshot_sync,
+        "recognition_backfill": q_recognition_backfill,
+        "csv_roundtrip": q_csv_roundtrip,
+        "fallback_replay": q_fallback_replay,
+        "conditional_enrichment": q_conditional_enrichment,
+        "bootstrap_tail": q_bootstrap_tail,
+        # -- new in r6 (need first driver rows) --
+        # -- r5-green remainder --
         "salted_rollup": q_salted_rollup,
         "lww_dedup": q_lww_dedup,
         "flatten_props": q_flatten_props,
@@ -1925,31 +1960,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ga_payload": q_ga_payload,
         "fb_user_hash": q_fb_user_hash,
         "conversion_send": q_conversion_send,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "lsh_candidates": q_lsh_candidates,
-        "jaccard_verify": q_jaccard_verify,
-        "near_dup_components": q_near_dup_components,
-        "near_dup_star": q_near_dup_star,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "embedding_near_dups": q_embedding_near_dups,
-        "multimodal_features": q_multimodal_features,
-        "transform_fanout": q_transform_fanout,
-        "token_multiplex": q_token_multiplex,
-        "incremental_agg": q_incremental_agg,
-        "cdc_replay_rebucket": q_cdc_replay_rebucket,
-        "lsh_bucket_guard": q_lsh_bucket_guard,
-        "interval_source_sync": q_interval_source_sync,
-        "singer_tap_sync": q_singer_tap_sync,
-        "singer_tap_sync_mor": q_singer_tap_sync_mor,
-        "stats_rollup": q_stats_rollup,
-        "mirror_sync": q_mirror_sync,
-        "snapshot_sync": q_snapshot_sync,
-        "recognition_backfill": q_recognition_backfill,
-        "csv_roundtrip": q_csv_roundtrip,
-        "fallback_replay": q_fallback_replay,
-        "conditional_enrichment": q_conditional_enrichment,
-        "bootstrap_tail": q_bootstrap_tail,
     }
 
 

@@ -196,6 +196,20 @@ def bench_singer_tap(spark, n_records: int, n_portions: int = 5) -> float:
         shutil.rmtree(work, ignore_errors=True)
 
 
+# The fixed BENCH_r04 query set: its sum is emitted as the stable
+# `core_suite` subtotal so round-over-round walls compare directly even
+# as the suite grows (r5 added 11 entries and made raw totals
+# incomparable — VERDICT r5 item 8). NEVER add to this set.
+_CORE_SUITE = frozenset({
+    "cdc_replay", "cdc_replay_mor", "lww_dedup", "flatten_props",
+    "deterministic_event_id", "events_per_hour", "exact_dedup_documents",
+    "text_quality", "token_counts", "pack_sequences",
+    "minhash_lsh_candidates", "simhash", "embedding_topk", "ann_lsh_topk",
+    "pricing_summary", "revenue_by_nation", "multimodal_features",
+    "ua_parse", "geo_lookup", "transform_fanout", "token_multiplex",
+})
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -369,6 +383,10 @@ def main() -> None:
                 "decontaminate_10x": entry.q_decontaminate,
                 "passage_dedup_10x": entry.q_passage_dedup,
                 "vocab_encode_10x": entry.q_vocab_encode,
+                "repetition_signals_10x": entry.q_repetition_signals,
+                "lm_score_10x": entry.q_lm_score,
+                "tfidf_topterms_10x": entry.q_tfidf_topterms,
+                "chunk_documents_10x": entry.q_chunk_documents,
                 # ANN family
                 "embedding_topk_10x": entry.q_embedding_topk,
                 "ann_lsh_topk_10x": entry.q_ann_lsh_topk,
@@ -394,12 +412,19 @@ def main() -> None:
                 sf1_queries["interval_sync_8day_10x"] = min(
                     sf1_queries.get("interval_sync_8day_10x", el), el
                 )
+                el = round(bench_singer_tap(spark, n_singer * 10), 3)
+                sf1_queries["singer_tap_50k_10x"] = min(
+                    sf1_queries.get("singer_tap_50k_10x", el), el
+                )
             extras["sf1_queries"] = sf1_queries
             extras["docs_scale"] = docs_scale
         finally:
             shutil.rmtree(inflated, ignore_errors=True)
 
     total = round(sum(queries.values()), 3)
+    extras["core_suite"] = round(
+        sum(v for k, v in queries.items() if k in _CORE_SUITE), 3
+    )
     print(
         json.dumps(
             {

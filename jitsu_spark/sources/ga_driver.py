@@ -79,10 +79,14 @@ class GaShapedReportDriver(IntervalDriver):
     lag_days: int = 1  # reference: AddDate(0, 0, -1)
     arrival_col: str | None = None  # visibility column; None -> ts_col
     tz_id: str = "UTC"
-    #: "DAY" (GA / FB-Marketing) or "MONTH" (Google-Play bucket reports,
+    #: "DAY" (GA / FB-Marketing), "MONTH" (Google-Play bucket reports,
     #: google_play.go:27 intervalLayout "200601" + NewTimeInterval(MONTH,..))
+    #: or "YEAR" (drivers/granularity.go:13,23,39,55 — Lower/Upper snap to
+    #: Jan-1 year bounds; no shipped reference driver uses it, kept for
+    #: shape fidelity)
     granularity: str = "DAY"
     months_back: int = 12  # interval count when granularity == "MONTH"
+    years_back: int = 3  # interval count when granularity == "YEAR"
     #: literal columns stamped on every report row AND folded into the
     #: report-row id (e.g. the FB/GPlay account_id — rows belong to an
     #: account the way insights rows belong to /act_<id>/insights)
@@ -117,6 +121,21 @@ class GaShapedReportDriver(IntervalDriver):
                     )
                 )
                 cur = (cur - dt.timedelta(days=1)).replace(day=1)
+            return out
+        if self.granularity == "YEAR":
+            y0 = self._now().replace(
+                month=1, day=1, hour=0, minute=0, second=0, microsecond=0
+            )
+            for i in range(self.years_back):
+                cur = y0.replace(year=y0.year - i)
+                nxt = cur.replace(year=cur.year + 1)
+                out.append(
+                    TimeInterval(
+                        id=f"{self.tz_id}_YEAR_{cur:%Y}",
+                        lower=f"{cur:%Y-%m-%d %H:%M:%S}",
+                        upper=f"{nxt:%Y-%m-%d %H:%M:%S}",
+                    )
+                )
             return out
         if self.granularity != "DAY":
             raise ValueError(f"unknown granularity {self.granularity!r}")

@@ -654,6 +654,40 @@ def test_google_play_shaped_config(spark, tmpdir_path):
     assert r2.statuses["UTC_MONTH_2024-01"] == "REFRESH"
 
 
+def test_year_granularity_intervals():
+    """YEAR interval enumeration (drivers/granularity.go:13,23,39,55):
+    Lower/Upper snap to Jan-1 year bounds, newest first, and the trailing
+    lag signature freezes closed years while the current one keeps a
+    moving signature."""
+    from jitsu_spark.sources.ga_driver import GaShapedReportDriver
+
+    drv = GaShapedReportDriver(
+        source_path="unused",
+        ts_col="ts",
+        dimensions=["d"],
+        metrics={"hits": ("count", "")},
+        now="2024-03-15 12:30:00",
+        granularity="YEAR",
+        years_back=3,
+        lag_days=30,
+    )
+    ivs = drv.available_intervals()
+    assert [i.id for i in ivs] == [
+        "UTC_YEAR_2024", "UTC_YEAR_2023", "UTC_YEAR_2022"
+    ]
+    assert ivs[0].lower == "2024-01-01 00:00:00"
+    assert ivs[0].upper == "2025-01-01 00:00:00"
+    assert ivs[2].lower == "2022-01-01 00:00:00"
+    assert ivs[2].upper == "2023-01-01 00:00:00"
+    # lag clock = 2024-02-14: 2022/2023 froze (upper <= lag boundary...
+    # 2023's upper 2024-01-01 < 2024-02-14 -> frozen); 2024 still open
+    assert drv.signature(ivs[2]) == "2023-01-01T00:00:00.000Z"
+    assert drv.signature(ivs[1]) == "2024-01-01T00:00:00.000Z"
+    assert drv.signature(ivs[0]) == "2024-02-14T12:30:00.000Z"
+    # layout signature covers granularity so a DAY<->YEAR flip re-syncs
+    assert '"YEAR"' in drv.layout_signature()
+
+
 def test_singer_message_parsing(spark):
     """SCHEMA/RECORD/STATE split, typed record extraction with corrupt
     dead-lettering, and last-state bookmark selection."""
