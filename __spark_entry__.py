@@ -966,6 +966,117 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vec_cdc_batches(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The embedding-modality analog of ``_doc_cdc_batches``: a 3-batch
+    CDC history over the embeddings table whose final upstream state ==
+    the original table, so incremental-index oracles are plain full
+    recomputes. b0 inserts vec_id%3==0; b1 inserts %3==1, CORRUPTS
+    %3==2 (negated vectors — different cell, same norm) and inserts
+    bogus vectors; b2 restores %3==2 and deletes the bogus set. Bogus
+    ids shift by 10^10 — past any inflated-corpus replica id space
+    (the id-collision lesson from the documents harness applies
+    verbatim)."""
+    m3 = F.col("vec_id") % 3
+    bogus = (m3 == 0) & (F.col("vec_id") < 60)
+    seq_op = lambda s: [F.lit(s).cast("long").alias("seq"), F.lit("u").alias("op")]  # noqa: E731
+    b0 = e.filter(m3 == 0).select("vec_id", "embedding", *seq_op(1))
+    b1 = (
+        e.filter(m3 == 1).select("vec_id", "embedding", *seq_op(2))
+        .unionByName(
+            e.filter(m3 == 2).select(
+                "vec_id",
+                F.transform("embedding", lambda x: (-x).cast("float"))
+                .alias("embedding"),
+                *seq_op(2),
+            )
+        )
+        .unionByName(
+            e.filter(bogus).select(
+                (F.col("vec_id") + 10_000_000_000).alias("vec_id"),
+                "embedding",
+                *seq_op(2),
+            )
+        )
+    )
+    b2 = (
+        e.filter(m3 == 2).select("vec_id", "embedding", *seq_op(3))
+        .unionByName(
+            e.filter(bogus).select(
+                (F.col("vec_id") + 10_000_000_000).alias("vec_id"),
+                F.lit(None).cast("array<float>").alias("embedding"),
+                F.lit(3).cast("long").alias("seq"),
+                F.lit("d").alias("op"),
+            )
+        )
+    )
+    return b0, b1, b2
+
+
+def _ivf_index_after_cdc(spark: SparkSession, sf_dir: str, tag: str):
+    """Shared setup for the IVF-IVM gate queries: an embeddings CDC
+    upstream replayed through 3 batches with the index synced after
+    each; centroids frozen at create from the ORIGINAL table under the
+    same hash rule the SQL oracles use (md5('cent#'||id) LIMIT 64)."""
+    from jitsu_spark.lake import LakeTable
+    from jitsu_spark.lake.merge import merge_batch
+    from jitsu_spark.similarity.ann import sampled_centroids
+    from jitsu_spark.similarity.ivf_index import (
+        create_ivf_index,
+        sync_ivf_index,
+    )
+
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    up = LakeTable.create(
+        spark,
+        _scratch(f"{tag}_up"),
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+        "vec_id",
+        n_buckets=16,
+        properties={"write.mode": "mor"},
+    )
+    index = create_ivf_index(
+        spark,
+        _scratch(f"{tag}_view"),
+        sampled_centroids(e, "vec_id", "embedding", 64),
+        n_buckets=16,
+    )
+    for i, b in enumerate(_vec_cdc_batches(e)):
+        merge_batch(up, b, batch_id=i, job_id=tag)
+        sync_ivf_index(up, index)
+    return e, index
+
+
+def q_ivf_index_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN index maintained INCREMENTALLY from changes()
+    (similarity/ivf_index.py over sync_derived_rows: the pre-image's
+    cell row retracts, the post-image's asserts, bucket-pruned
+    O(change) per sync; cells co-locate via prefix bucketing so probes
+    prune to their own cells' buckets). After the 3-batch CDC history
+    the index's full membership must equal the batch cell assignment
+    over the final corpus."""
+    from jitsu_spark.similarity.ivf_index import index_assignments
+
+    _, index = _ivf_index_after_cdc(spark, sf_dir, "ivfix")
+    return index_assignments(index)
+
+
+def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained index's PROBE path — score only the query batch
+    against the frozen centroids, read only the n_probe nearest cells'
+    buckets, exact re-rank. Must answer the batch ``ivf_topk`` oracle
+    exactly (same centroids, same corpus final state)."""
+    from jitsu_spark.similarity.ivf_index import probe_ivf_index
+
+    e, index = _ivf_index_after_cdc(spark, sf_dir, "ivfpr")
+    queries = e.filter(F.col("vec_id") < 8)
+    return probe_ivf_index(index, queries, "vec_id", k=5, n_probe=3)
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregate; decimal sums for exact cross-engine math."""
     l = _read(spark, sf_dir, "lineitem")
@@ -1914,6 +2025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_enrichment": q_conditional_enrichment,
         "bootstrap_tail": q_bootstrap_tail,
         # -- new in r6 (need first driver rows) --
+        "ivf_index_ivm": q_ivf_index_ivm,
+        "ivf_probe": q_ivf_probe,
         # -- r5-green remainder --
         "salted_rollup": q_salted_rollup,
         "lww_dedup": q_lww_dedup,
@@ -3189,6 +3302,30 @@ def oracle_sql() -> dict[str, str]:
     }
     # algorithm equivalence: the star variant answers to the SAME oracle
     out["near_dup_star"] = out["near_dup_components"]
+    # incrementally maintained IVF inverted file == batch cell assignment
+    # over the final corpus (embedding CDC history restores the original
+    # embeddings table; centroids frozen under the same md5 hash rule)
+    out["ivf_index_ivm"] = """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id AS cent_id, v AS cvec FROM e
+            ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)) ASC,
+                     vec_id ASC
+            LIMIT 64
+        )
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, cent.cent_id AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           e.v, cent.cvec), 6) DESC,
+                       cent.cent_id ASC) AS cr
+            FROM e, cent
+        ) WHERE cr = 1
+    """
+    # the maintained index's probe path answers the batch ivf_topk oracle
+    out["ivf_probe"] = out["ivf_topk"]
     # incremental maintenance == full recompute: the changes()-fed
     # passage-dedup view must converge to exactly the batch answer
     out["passage_dedup_ivm"] = out["passage_dedup"]

@@ -1,0 +1,215 @@
+"""Incrementally maintained IVF ANN index (similarity/ivf_index.py) vs
+full recomputes after every upstream batch — inserts, cell-moving
+updates (stale-cell retraction), deletes, probe-vs-batch-ivf_topk
+equality, persisted centroids, NULL vectors, and redelivery idempotence.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jitsu_spark.lake.merge import merge_batch
+from jitsu_spark.lake.table import LakeTable
+from jitsu_spark.similarity.ann import ivf_topk, nearest_centroid
+from jitsu_spark.similarity.ivf_index import (
+    create_ivf_index,
+    index_assignments,
+    index_centroids,
+    load_ivf_index,
+    probe_ivf_index,
+    sync_ivf_index,
+)
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+DIM = 4
+
+
+def _vec(rng):
+    return [round(rng.uniform(-1, 1), 3) for _ in range(DIM)]
+
+
+def _mk_src(spark, root):
+    return LakeTable.create(
+        spark, root, VEC_SCHEMA, "vec_id", n_buckets=8,
+        properties={"write.mode": "mor"},
+    )
+
+
+def _apply(src, spark, rows, seq0):
+    data = [(int(i), v, seq0 + n, op) for n, (i, v, op) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, seq long, op string"
+    )
+    merge_batch(src, df, batch_id=f"b{seq0}", job_id="up")
+
+
+def _centroid_frame(spark, vecs):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in vecs],
+        "_cent_id long, _cent_vec array<double>",
+    )
+
+
+def _expected_assign(src, cent):
+    cur = src.read().select("vec_id", "embedding")
+    return {
+        (r["vec_id"], r["cluster"])
+        for r in nearest_centroid(cur, "vec_id", "embedding", cent).collect()
+    }
+
+
+def _actual_assign(index):
+    return {
+        (r["vec_id"], r["cell"]) for r in index_assignments(index).collect()
+    }
+
+
+def test_index_tracks_batch_assignment_through_cdc_history(
+    spark, tmpdir_path
+):
+    rng = random.Random(7)
+    src = _mk_src(spark, os.path.join(tmpdir_path, "src"))
+    cent = _centroid_frame(
+        spark, [(i, _vec(rng)) for i in range(4)]
+    )
+    index = create_ivf_index(
+        spark, os.path.join(tmpdir_path, "ix"), cent, n_buckets=8
+    )
+    batches = [
+        [(i, _vec(rng), "u") for i in range(1, 9)],
+        # updates move vectors between cells; delete one; no-op delete
+        [(2, _vec(rng), "u"), (5, _vec(rng), "u"), (3, None, "d"),
+         (99, None, "d")],
+        [(9, _vec(rng), "u"), (1, None, "d"), (2, _vec(rng), "u")],
+    ]
+    seq = 0
+    for b in batches:
+        _apply(src, spark, b, seq)
+        seq += len(b)
+        res = sync_ivf_index(src, index)
+        assert not res.skipped
+        assert _actual_assign(index) == _expected_assign(src, cent)
+    # exactly one index row per live vector
+    assert index.read().count() == src.read().count()
+
+
+def test_update_retracts_stale_cell_row(spark, tmpdir_path):
+    """Force a cell move with hand-picked vectors: the old cell's row
+    must vanish, exactly one row survives, in the new cell."""
+    src = _mk_src(spark, os.path.join(tmpdir_path, "src"))
+    cent = _centroid_frame(
+        spark, [(0, [1, 0, 0, 0]), (1, [0, 1, 0, 0])]
+    )
+    index = create_ivf_index(
+        spark, os.path.join(tmpdir_path, "ix"), cent, n_buckets=8
+    )
+    _apply(src, spark, [(1, [0.9, 0.1, 0.0, 0.0], "u")], 0)
+    sync_ivf_index(src, index)
+    assert _actual_assign(index) == {(1, 0)}
+    _apply(src, spark, [(1, [0.1, 0.9, 0.0, 0.0], "u")], 1)
+    sync_ivf_index(src, index)
+    assert _actual_assign(index) == {(1, 1)}
+    assert index.read().count() == 1
+    # delete retracts everything
+    _apply(src, spark, [(1, None, "d")], 2)
+    sync_ivf_index(src, index)
+    assert index.read().count() == 0
+
+
+def test_probe_matches_batch_ivf_topk(spark, tmpdir_path):
+    rng = random.Random(11)
+    src = _mk_src(spark, os.path.join(tmpdir_path, "src"))
+    cent = _centroid_frame(spark, [(i, _vec(rng)) for i in range(5)])
+    index = create_ivf_index(
+        spark, os.path.join(tmpdir_path, "ix"), cent, n_buckets=8
+    )
+    corpus = [(i, _vec(rng), "u") for i in range(1, 31)]
+    _apply(src, spark, corpus, 0)
+    sync_ivf_index(src, index)
+
+    queries = spark.createDataFrame(
+        [(i, v) for i, v, _ in corpus[:4]], VEC_SCHEMA
+    )
+    got = {
+        (r["vec_id_q"], r["vec_id_c"], r["sim"], r["rank"])
+        for r in probe_ivf_index(
+            index, queries, "vec_id", k=3, n_probe=2
+        ).collect()
+    }
+    want = {
+        (r["vec_id_q"], r["vec_id_c"], r["sim"], r["rank"])
+        for r in ivf_topk(
+            queries, src.read().select("vec_id", "embedding"),
+            "vec_id", "vec_id", k=3, n_probe=2, centroids=cent,
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_centroids_persisted_and_load_guard(spark, tmpdir_path):
+    rng = random.Random(13)
+    src = _mk_src(spark, os.path.join(tmpdir_path, "src"))
+    cent = _centroid_frame(spark, [(i, _vec(rng)) for i in range(3)])
+    index = create_ivf_index(
+        spark, os.path.join(tmpdir_path, "ix"), cent, n_buckets=8
+    )
+    _apply(src, spark, [(1, _vec(rng), "u"), (2, _vec(rng), "u")], 0)
+    sync_ivf_index(src, index)
+    # a FRESH load must resync under the persisted centroids
+    reloaded = load_ivf_index(spark, os.path.join(tmpdir_path, "ix"))
+    got_cent = {
+        (r["_cent_id"], tuple(r["_cent_vec"]))
+        for r in index_centroids(reloaded).collect()
+    }
+    want_cent = {
+        (r["_cent_id"], tuple(r["_cent_vec"])) for r in cent.collect()
+    }
+    assert got_cent == want_cent
+    _apply(src, spark, [(3, _vec(rng), "u")], 2)
+    sync_ivf_index(src, reloaded)
+    assert _actual_assign(reloaded) == _expected_assign(src, cent)
+    with pytest.raises(ValueError):
+        load_ivf_index(spark, os.path.join(tmpdir_path, "src"))
+
+
+def test_null_vector_indexes_nothing(spark, tmpdir_path):
+    """An upsert with a NULL embedding is a doc without an embedding:
+    it must not appear in the index, and updating a live vector to NULL
+    must retract its row."""
+    rng = random.Random(17)
+    src = _mk_src(spark, os.path.join(tmpdir_path, "src"))
+    cent = _centroid_frame(spark, [(i, _vec(rng)) for i in range(2)])
+    index = create_ivf_index(
+        spark, os.path.join(tmpdir_path, "ix"), cent, n_buckets=8
+    )
+    _apply(src, spark, [(1, _vec(rng), "u"), (2, None, "u")], 0)
+    sync_ivf_index(src, index)
+    assert {r["vec_id"] for r in index_assignments(index).collect()} == {1}
+    _apply(src, spark, [(1, None, "u")], 2)
+    sync_ivf_index(src, index)
+    assert index.read().count() == 0
+
+
+def test_sync_redelivery_is_idempotent(spark, tmpdir_path):
+    rng = random.Random(19)
+    src = _mk_src(spark, os.path.join(tmpdir_path, "src"))
+    cent = _centroid_frame(spark, [(0, _vec(rng))])
+    index = create_ivf_index(
+        spark, os.path.join(tmpdir_path, "ix"), cent, n_buckets=8
+    )
+    _apply(src, spark, [(1, _vec(rng), "u")], 0)
+    assert not sync_ivf_index(src, index).skipped
+    v = index.snapshot().version
+    res = sync_ivf_index(src, index)
+    assert res.skipped and index.snapshot().version == v
