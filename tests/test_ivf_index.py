@@ -201,6 +201,60 @@ def test_null_vector_indexes_nothing(spark, tmpdir_path):
     assert index.read().count() == 0
 
 
+def test_index_stays_fresh_through_embedding_stream(spark, tmpdir_path):
+    """Embeddings stream in as CDC micro-batches; the IVF index stays
+    continuously fresh via post_commit with in-stream compaction folding
+    the stream table's deltas after every batch. Final index == batch
+    assignment; checkpoint redelivery touches nothing."""
+    from jitsu_spark.streaming import CdcStreamJob
+
+    rng = random.Random(23)
+    log_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    b1 = [(i, _vec(rng), i, "u") for i in range(1, 7)]
+    b2 = [(2, _vec(rng), 7, "u"), (3, None, 8, "d"),
+          (7, _vec(rng), 9, "u")]
+    b3 = [(5, None, 10, "d"), (8, _vec(rng), 11, "u")]
+    src_dir = os.path.join(tmpdir_path, "log")
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b, log_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    table = _mk_src(spark, os.path.join(tmpdir_path, "tbl"))
+    cent = _centroid_frame(spark, [(i, _vec(rng)) for i in range(3)])
+    index = create_ivf_index(
+        spark, os.path.join(tmpdir_path, "ix"), cent, n_buckets=8
+    )
+
+    def make_job():
+        return CdcStreamJob(
+            table=table,
+            source_dir=src_dir,
+            checkpoint_dir=os.path.join(tmpdir_path, "ckpt"),
+            source_schema=log_schema,
+            max_files_per_trigger=1,
+            job_id="ivfstream",
+            post_commit=lambda batch_id: sync_ivf_index(table, index),
+            compact_every_n_batches=1,
+            compact_max_files_per_bucket=1,
+        )
+
+    make_job().run_available_now(spark)
+    assert any(e.get("kind") == "compact" for e in table.snapshot().lineage)
+    assert _actual_assign(index) == _expected_assign(table, cent)
+
+    v = index.snapshot().version
+    make_job().run_available_now(spark)  # redelivery: no-op
+    assert index.snapshot().version == v
+
+
 def test_sync_redelivery_is_idempotent(spark, tmpdir_path):
     rng = random.Random(19)
     src = _mk_src(spark, os.path.join(tmpdir_path, "src"))

@@ -49,6 +49,30 @@ def _vocab_encode_join(spark, sf_dir):
         F.array_join(F.transform(F.slice(F.col("token_ids"), 1, 32),
                                  lambda x: x.cast("string")), ",").alias("ids_csv"))
 ops["vocab_encode_join"] = _vocab_encode_join
+def _vocab_encode_join32k(spark, sf_dir):
+    # REALIZED-32k-V join path: the synthetic corpus's natural vocab is
+    # small, so _vocab_encode_join's 64k cap never binds; here each doc
+    # contributes two hash-derived pseudo-tokens over a 45k space so the
+    # built vocab genuinely hits the 32768 cap (a real tokenizer vocab is
+    # 32k-256k) and the encode join carries a full-size dimension.
+    from pyspark.sql import functions as F
+    from jitsu_spark.text.vocab import build_vocab, encode_documents
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text")
+    d = d.withColumn(
+        "text",
+        F.concat_ws(
+            " ", "text",
+            F.concat(F.lit("tk"), F.pmod(F.xxhash64("doc_id"),
+                                         F.lit(45000)).cast("string")),
+            F.concat(F.lit("tk"), F.pmod(F.xxhash64("doc_id", F.lit(1)),
+                                         F.lit(45000)).cast("string"))))
+    enc = encode_documents(d, build_vocab(d, 32768), strategy="join")
+    return enc.select(
+        "doc_id", "n_tokens", "n_oov",
+        F.array_join(F.transform(F.slice(F.col("token_ids"), 1, 32),
+                                 lambda x: x.cast("string")), ",").alias("ids_csv"))
+ops["vocab_encode_join32k"] = _vocab_encode_join32k
 def _lm_score(spark, sf_dir):
     from jitsu_spark.text.lm import bigram_model, score_documents
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
