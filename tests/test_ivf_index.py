@@ -201,6 +201,36 @@ def test_null_vector_indexes_nothing(spark, tmpdir_path):
     assert index.read().count() == 0
 
 
+def test_probe_read_prunes_to_probed_cells_buckets(spark, tmpdir_path):
+    """The probe's index scan must pass an explicit bucket list — exactly
+    the buckets of its n_probe nearest cells (metadata-level prefix
+    prune, O(candidates) not O(corpus))."""
+    rng = random.Random(29)
+    src = _mk_src(spark, os.path.join(tmpdir_path, "src"))
+    cent = _centroid_frame(spark, [(i, _vec(rng)) for i in range(6)])
+    index = create_ivf_index(
+        spark, os.path.join(tmpdir_path, "ix"), cent, n_buckets=8
+    )
+    _apply(src, spark, [(i, _vec(rng), "u") for i in range(1, 25)], 0)
+    sync_ivf_index(src, index)
+
+    read_buckets = []
+    orig_read = index.read
+
+    def spy_read(*a, **kw):
+        read_buckets.append(kw.get("buckets"))
+        return orig_read(*a, **kw)
+
+    index.read = spy_read
+    queries = spark.createDataFrame([(101, _vec(rng))], VEC_SCHEMA)
+    got = probe_ivf_index(index, queries, "vec_id", k=3, n_probe=2)
+    assert got.count() >= 0
+    assert len(read_buckets) == 1 and read_buckets[0] is not None
+    # one query x n_probe=2 cells -> at most 2 distinct buckets, never
+    # the full layout
+    assert 1 <= len(read_buckets[0]) <= 2 < index.snapshot().n_buckets
+
+
 def test_index_stays_fresh_through_embedding_stream(spark, tmpdir_path):
     """Embeddings stream in as CDC micro-batches; the IVF index stays
     continuously fresh via post_commit with in-stream compaction folding
