@@ -1077,6 +1077,24 @@ def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_ivf_index(index, queries, "vec_id", k=5, n_probe=3)
 
 
+def q_cluster_balanced_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced curation OVER THE MAINTAINED INDEX: the per-cell
+    cap runs against the incrementally-maintained IVF inverted file's
+    membership instead of a fresh full-corpus assignment pass — at
+    100 TB, curation becomes a read of the standing index. Must answer
+    the batch ``cluster_balanced`` oracle exactly (same frozen
+    centroids, cap, and sampling salt; the CDC history restores the
+    original embeddings table)."""
+    from jitsu_spark.similarity.curation import cap_clusters
+    from jitsu_spark.similarity.ivf_index import index_assignments
+
+    _, index = _ivf_index_after_cdc(spark, sf_dir, "cbivm")
+    assigned = index_assignments(index).select(
+        "vec_id", F.col("cell").alias("cluster")
+    )
+    return cap_clusters(assigned, "vec_id", cap=10, seed=4)
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregate; decimal sums for exact cross-engine math."""
     l = _read(spark, sf_dir, "lineitem")
@@ -2027,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r6 (need first driver rows) --
         "ivf_index_ivm": q_ivf_index_ivm,
         "ivf_probe": q_ivf_probe,
+        "cluster_balanced_ivm": q_cluster_balanced_ivm,
         # -- r5-green remainder --
         "salted_rollup": q_salted_rollup,
         "lww_dedup": q_lww_dedup,
@@ -3326,6 +3345,8 @@ def oracle_sql() -> dict[str, str]:
     """
     # the maintained index's probe path answers the batch ivf_topk oracle
     out["ivf_probe"] = out["ivf_topk"]
+    # curation over the maintained index answers the batch curation oracle
+    out["cluster_balanced_ivm"] = out["cluster_balanced"]
     # incremental maintenance == full recompute: the changes()-fed
     # passage-dedup view must converge to exactly the batch answer
     out["passage_dedup_ivm"] = out["passage_dedup"]

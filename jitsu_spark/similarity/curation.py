@@ -46,6 +46,38 @@ def assign_clusters(
     return nearest_centroid(df, id_col, vec_col, centroids)
 
 
+def cap_clusters(
+    assigned: DataFrame,
+    id_col: str,
+    cap: int = 10,
+    seed: int = 0,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Cap every cluster at ``cap`` members: rank each cluster's rows by
+    a salted md5 draw (then id) and keep rank <= cap. Returns
+    (id, cluster, pick_rank) for the survivors. ``assigned`` is any
+    (id, cluster) frame — a fresh :func:`assign_clusters` pass, or the
+    incrementally-maintained IVF inverted file
+    (``similarity.ivf_index.index_assignments``), which makes curation
+    over 100 TB a read of the standing index instead of a full
+    re-assignment."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    pick = F.md5(
+        F.concat_ws(
+            "#", F.lit(f"cursample:{seed}"), F.col(id_col).cast("string")
+        )
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        pick.asc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= cap)
+        .select(id_col, cluster_col, "pick_rank")
+    )
+
+
 def cluster_balanced_sample(
     df: DataFrame,
     id_col: str,
@@ -55,21 +87,8 @@ def cluster_balanced_sample(
     seed: int = 0,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """Cap every cluster at ``cap`` members: rank each cluster's vectors
-    by a salted md5 draw (then id) and keep rank <= cap. Returns
-    (id, cluster, pick_rank) for the survivors — the rebalanced corpus.
-    """
-    if cap < 1:
-        raise ValueError(f"cap must be >= 1, got {cap}")
+    """Cap every cluster at ``cap`` members over a fresh assignment pass.
+    Returns (id, cluster, pick_rank) for the survivors — the rebalanced
+    corpus."""
     assigned = assign_clusters(df, id_col, vec_col, n_centroids, centroids)
-    pick = F.md5(
-        F.concat_ws(
-            "#", F.lit(f"cursample:{seed}"), F.col(id_col).cast("string")
-        )
-    )
-    w = Window.partitionBy("cluster").orderBy(pick.asc(), F.col(id_col).asc())
-    return (
-        assigned.withColumn("pick_rank", F.row_number().over(w))
-        .filter(F.col("pick_rank") <= cap)
-        .select(id_col, "cluster", "pick_rank")
-    )
+    return cap_clusters(assigned, id_col, cap=cap, seed=seed)

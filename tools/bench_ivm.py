@@ -157,7 +157,23 @@ def main() -> None:
     # training-corpus ingest regime — no retractions, so the winner-split
     # stage-2 never touches the occurrence index); default = updates.
     insert_mode = os.environ.get("JITSU_IVM_MODE") == "insert"
-    results["delta_mode"] = "insert" if insert_mode else "update"
+    # JITSU_IVM_DELTA=clustered (insert regime): every delta doc carries
+    # the SAME text (a near-dup crawl burst) so their passages/bands
+    # concentrate on a handful of hashes — the workload where the
+    # passage/index state tables' prefix-bucket pruning actually bites
+    # (dirty buckets ~ passages of ONE doc, not delta_docs x fanout).
+    # Hash-spread deltas dirty ~every bucket at any sandbox-feasible
+    # bucket count because fanout x delta >> n_buckets.
+    clustered = os.environ.get("JITSU_IVM_DELTA") == "clustered"
+    results["delta_mode"] = (
+        ("insert" if insert_mode else "update")
+        + ("+clustered" if clustered else "")
+    )
+    base_text = None
+    if clustered:
+        if not insert_mode:
+            raise SystemExit("JITSU_IVM_DELTA=clustered requires insert mode")
+        base_text = corpus.orderBy("doc_id").limit(1).collect()[0]["text"]
 
     # steady state: n_batches distinct same-size deltas, timed per view
     inc: dict[str, list[float]] = {name: [] for name in views}
@@ -175,7 +191,13 @@ def main() -> None:
                 if insert_mode
                 else F.col("doc_id")
             ).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" u"), F.lit(i)).alias("text"),
+            (
+                # identical text per batch: passages concentrate; the
+                # " c<i>" suffix keeps batches distinct from each other
+                F.concat(F.lit(base_text), F.lit(" c"), F.lit(i))
+                if clustered
+                else F.concat(F.col("text"), F.lit(" u"), F.lit(i))
+            ).alias("text"),
             F.lit(i + 2).cast("long").alias("seq"),
             F.lit("u").alias("op"),
         )
