@@ -21,15 +21,23 @@ Scale shape:
   ``strategy="join"`` fallback) to ~the hardware ceiling, because the
   join path's doc_id re-shuffle of every (pos, id) pair disappears.
   For a vocab too large for a map literal (> ``map_literal_max``),
-  ``strategy="join"`` keeps the broadcast-join path: exploded (doc,
-  pos, token) stream joined against the vocab, re-assembled with an
-  array_sort over collected (pos, id) structs — one doc_id shuffle.
+  the auto default is ``strategy="udf"``: the V-row vocab broadcast as
+  a plain dict, encode in ONE Arrow-vectorized pandas UDF — the same
+  narrow zero-shuffle shape at any V (a real tokenizer vocab is
+  32k-256k). ``strategy="join"`` keeps the broadcast-join path
+  (exploded (doc, pos, token) stream joined against the vocab,
+  re-assembled with an array_sort over collected (pos, id) structs —
+  one doc_id shuffle) for engines/UDF-less deployments; measured 2->8
+  scaling at 800k docs, V=32k: join 0.61, udf ~hardware ceiling
+  (BASELINE.md round 6).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 #: id stamped on tokens outside the vocabulary
@@ -69,10 +77,11 @@ def encode_documents(
     long, OOV as -1, in original token order).
 
     ``strategy``: None (auto — map literal when the vocab fits in
-    ``map_literal_max`` rows, else join), "map", or "join"."""
-    if strategy not in (None, "map", "join"):
+    ``map_literal_max`` rows, else the broadcast-dict Arrow UDF), "map",
+    "udf", or "join"."""
+    if strategy not in (None, "map", "udf", "join"):
         raise ValueError(f"unknown encode strategy {strategy!r}")
-    if strategy != "join":
+    if strategy in (None, "map"):
         # bounded control-plane read: at most map_literal_max+1 rows
         head = vocab.select("token", "token_id").limit(map_literal_max + 1).collect()
         if len(head) <= map_literal_max:
@@ -82,7 +91,9 @@ def encode_documents(
                 f"vocab exceeds map_literal_max={map_literal_max}; "
                 "use strategy='join'"
             )
-    return _encode_via_join(docs, vocab, id_col, text_col)
+    if strategy == "join":
+        return _encode_via_join(docs, vocab, id_col, text_col)
+    return _encode_via_udf(docs, vocab, id_col, text_col)
 
 
 def _encode_via_map(
@@ -105,6 +116,60 @@ def _encode_via_map(
         F.size(words).cast("long").alias("n_tokens"),
         F.size(F.filter(ids, lambda x: x == OOV_ID)).cast("long").alias("n_oov"),
         ids.alias("token_ids"),
+    )
+
+
+def _encode_via_udf(
+    docs: DataFrame, vocab: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Broadcast-dict Arrow-vectorized encode — the large-V default.
+
+    The vocab is collected ONCE driver-side (bounded by V, a model
+    hyper-parameter — 32k-256k rows is a few MB, the same argument as
+    the map literal) and shipped as a broadcast dict; one pandas UDF
+    emits (n_tokens, n_oov, token_ids) per Arrow batch. Keeps the
+    map path's NARROW shape at any V: zero shuffle, zero explode, no
+    per-doc reassembly — the join path's doc_id re-shuffle of every
+    (pos, id) pair (its 2->8 scaling was 0.61 at 800k docs where this
+    path and the map literal hit the hardware ceiling)."""
+    rows = vocab.select("token", "token_id").collect()
+    mapping = {r["token"]: int(r["token_id"]) for r in rows}
+    bmap = docs.sparkSession.sparkContext.broadcast(mapping)
+
+    ret = T.StructType(
+        [
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_oov", T.LongType()),
+            T.StructField("token_ids", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @F.pandas_udf(ret)
+    def enc(texts: pd.Series) -> pd.DataFrame:
+        m = bmap.value
+        oov = OOV_ID
+        # NULL text = empty document (one empty token), matching the
+        # map/join paths' split(coalesce(text, '')) semantics
+        ids = texts.map(
+            lambda t: [
+                m.get(w, oov) for w in ("" if t is None else t).split(" ")
+            ]
+        )
+        return pd.DataFrame(
+            {
+                "n_tokens": ids.map(len).astype("int64"),
+                "n_oov": ids.map(
+                    lambda a: sum(1 for x in a if x == oov)
+                ).astype("int64"),
+                "token_ids": ids,
+            }
+        )
+
+    return docs.select(F.col(id_col), enc(F.col(text_col)).alias("_e")).select(
+        id_col,
+        F.col("_e.n_tokens").alias("n_tokens"),
+        F.col("_e.n_oov").alias("n_oov"),
+        F.col("_e.token_ids").alias("token_ids"),
     )
 
 

@@ -308,6 +308,24 @@ def test_vocab_encode_join_path_broadcasts(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_vocab_encode_udf_path_is_narrow_arrow(spark):
+    """The large-V default (broadcast-dict Arrow UDF) keeps the map
+    path's narrow shape at any V: zero exchanges, no join, exactly an
+    Arrow-vectorized eval — never the join path's doc_id reassembly
+    shuffle."""
+    from jitsu_spark.text.vocab import build_vocab, encode_documents
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(10)], "doc_id long, text string"
+    )
+    vocab = build_vocab(df, 4)
+    plan = plan_of(encode_documents(df, vocab, strategy="udf"))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
 def test_pii_scrub_is_shuffle_free_codegen(spark):
     """The scrub is a narrow projection: zero exchanges, whole regex fold
     inside one WholeStageCodegen span, no Python in the data path."""

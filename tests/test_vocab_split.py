@@ -122,11 +122,16 @@ def test_encode_map_and_join_paths_equivalent(spark):
         "doc_id", "n_tokens", "n_oov", F.col("token_ids").cast("string").alias("s")
     )
     assert m.exceptAll(j).count() == 0 and j.exceptAll(m).count() == 0
+    # the broadcast-dict Arrow-UDF path answers identically
+    u = encode_documents(df, vocab, strategy="udf").select(
+        "doc_id", "n_tokens", "n_oov", F.col("token_ids").cast("string").alias("s")
+    )
+    assert u.exceptAll(j).count() == 0 and j.exceptAll(u).count() == 0
     # forced map strategy on an oversized vocab is rejected
     big = build_vocab(df, 6)
     with pytest.raises(ValueError):
         encode_documents(df, big, strategy="map", map_literal_max=2)
-    # auto falls back to join above the cap (still correct)
+    # auto falls back to the udf path above the cap (still correct)
     auto = encode_documents(df, vocab, map_literal_max=2).select(
         "doc_id", "n_tokens", "n_oov", F.col("token_ids").cast("string").alias("s")
     )

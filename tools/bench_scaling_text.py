@@ -73,6 +73,27 @@ def _vocab_encode_join32k(spark, sf_dir):
         F.array_join(F.transform(F.slice(F.col("token_ids"), 1, 32),
                                  lambda x: x.cast("string")), ",").alias("ids_csv"))
 ops["vocab_encode_join32k"] = _vocab_encode_join32k
+def _vocab_encode_udf32k(spark, sf_dir):
+    # same realized-32k vocab, broadcast-dict Arrow-UDF path (the
+    # large-V auto default): narrow, zero shuffle at any V
+    from pyspark.sql import functions as F
+    from jitsu_spark.text.vocab import build_vocab, encode_documents
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text")
+    d = d.withColumn(
+        "text",
+        F.concat_ws(
+            " ", "text",
+            F.concat(F.lit("tk"), F.pmod(F.xxhash64("doc_id"),
+                                         F.lit(45000)).cast("string")),
+            F.concat(F.lit("tk"), F.pmod(F.xxhash64("doc_id", F.lit(1)),
+                                         F.lit(45000)).cast("string"))))
+    enc = encode_documents(d, build_vocab(d, 32768), strategy="udf")
+    return enc.select(
+        "doc_id", "n_tokens", "n_oov",
+        F.array_join(F.transform(F.slice(F.col("token_ids"), 1, 32),
+                                 lambda x: x.cast("string")), ",").alias("ids_csv"))
+ops["vocab_encode_udf32k"] = _vocab_encode_udf32k
 def _lm_score(spark, sf_dir):
     from jitsu_spark.text.lm import bigram_model, score_documents
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
