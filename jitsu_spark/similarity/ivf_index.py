@@ -109,14 +109,38 @@ def index_centroids(index: LakeTable) -> DataFrame:
 
 
 def _assign(
-    rows: DataFrame, key: str, vec_col: str, cent: DataFrame
+    rows: DataFrame, key: str, vec_col: str, cent: DataFrame,
+    via: str = "sql",
 ) -> DataFrame:
     """(key, vec, cell, cell_sim): nearest frozen centroid by cosine —
-    broadcast against the C-row centroid set, argmax via a
-    partial-combining ``min_by`` (one exchanged row per vector, never
-    the N*C sim pairs), sims 6dp-rounded before the argmax so float
-    epsilons cannot flip a cell across engines (same contract as
-    ``ann.nearest_centroid``). NULL/absent vectors index nothing."""
+    sims 6dp-rounded before the argmax so float epsilons cannot flip a
+    cell across engines, ties to the smaller centroid id (same contract
+    as ``ann.nearest_centroid``). NULL/absent vectors index nothing.
+
+    ``via="sql"`` (default): broadcast against the C-row centroid set,
+    argmax via a partial-combining ``min_by`` — one exchanged row per
+    vector, never the N*C sim pairs; pure-SQL, oracle-auditable.
+    ``via="numpy"``: ONE Arrow-vectorized matmul per batch
+    (``ann.centroid_assign_udf``) — the scale path when assignment
+    compute dominates (large C·d); same 6dp contract, but numpy's
+    summation order can differ from the SQL fold in the last ulps."""
+    if via == "numpy":
+        from jitsu_spark.similarity.ann import centroid_assign_udf
+
+        assign = centroid_assign_udf(cent)
+        out = (
+            rows.select(F.col(key), F.col(vec_col).alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .select(key, "_v", assign(F.col("_v")).alias("_a"))
+        )
+        return out.select(
+            F.col(key),
+            F.col("_v").alias("_vec"),
+            F.col("_a.cluster").alias("cell"),
+            F.col("_a.cluster_sim").alias("cell_sim"),
+        )
+    if via != "sql":
+        raise ValueError(f"unknown assignment path {via!r}")
     sims = (
         rows.select(F.col(key), F.col(vec_col).alias("_v"))
         .filter(F.col(vec_col).isNotNull())
@@ -151,16 +175,20 @@ def sync_ivf_index(
     vec_col: str = "embedding",
     job_id: str = "ivf-index",
     images: WindowImages | None = None,
+    assign_via: str = "sql",
 ) -> MirrorResult:
     """Advance the index to the upstream's current version — the frozen
     centroids come from the index's own sidecar. Pass a shared
     ``images`` when syncing several views of the same upstream in one
-    run (the window scan/reads run once across all of them)."""
+    run (the window scan/reads run once across all of them).
+    ``assign_via="numpy"`` swaps the SQL cosine fold for the Arrow/numpy
+    matmul kernel — use when C·d makes assignment compute-bound (see
+    ``_assign``)."""
     key = src.snapshot().key_field
     cent = index_centroids(index)
 
     def derive(rows: DataFrame) -> DataFrame:
-        a = _assign(rows, key, vec_col, cent)
+        a = _assign(rows, key, vec_col, cent, via=assign_via)
         return a.select(
             F.concat(
                 F.col("cell").cast("string"),

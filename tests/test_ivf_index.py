@@ -201,6 +201,55 @@ def test_null_vector_indexes_nothing(spark, tmpdir_path):
     assert index.read().count() == 0
 
 
+def test_numpy_assignment_matches_sql_path(spark, tmpdir_path):
+    """The Arrow/numpy matmul kernel must agree with the SQL cosine fold
+    under the shared 6dp-rounding contract — cells AND sims — both as a
+    batch operator (nearest_centroid_numpy) and through the index sync
+    (assign_via='numpy'), including NULL vectors and a tie."""
+    from jitsu_spark.similarity.ann import nearest_centroid_numpy
+
+    rng = random.Random(31)
+    src = _mk_src(spark, os.path.join(tmpdir_path, "src"))
+    cent = _centroid_frame(spark, [(i, _vec(rng)) for i in range(5)])
+    rows = [(i, _vec(rng), "u") for i in range(1, 41)] + [
+        (41, None, "u"),
+        # exact tie: the query vector equals centroid-equidistant zero
+        # offsets are unlikely; instead duplicate a centroid so two
+        # cells score identically for its own vector
+        (42, [0.5, 0.5, 0.5, 0.5], "u"),
+    ]
+    _apply(src, spark, rows, 0)
+    cur = src.read().select("vec_id", "embedding")
+
+    # batch comparison on the defined domain (nearest_centroid_numpy
+    # skips NULL vectors; the SQL batch operator emits a degenerate row)
+    defined = cur.filter(F.col("embedding").isNotNull())
+    got = {
+        (r["vec_id"], r["cluster"], r["cluster_sim"])
+        for r in nearest_centroid_numpy(
+            defined, "vec_id", "embedding", cent
+        ).collect()
+    }
+    want = {
+        (r["vec_id"], r["cluster"], r["cluster_sim"])
+        for r in nearest_centroid(
+            defined, "vec_id", "embedding", cent
+        ).collect()
+    }
+    assert got == want
+
+    # through the sync path: identical index state
+    ix_sql = create_ivf_index(
+        spark, os.path.join(tmpdir_path, "ix1"), cent, n_buckets=8
+    )
+    ix_np = create_ivf_index(
+        spark, os.path.join(tmpdir_path, "ix2"), cent, n_buckets=8
+    )
+    sync_ivf_index(src, ix_sql)
+    sync_ivf_index(src, ix_np, assign_via="numpy")
+    assert _actual_assign(ix_np) == _actual_assign(ix_sql)
+
+
 def test_probe_read_prunes_to_probed_cells_buckets(spark, tmpdir_path):
     """The probe's index scan must pass an explicit bucket list — exactly
     the buckets of its n_probe nearest cells (metadata-level prefix

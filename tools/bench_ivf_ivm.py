@@ -52,6 +52,7 @@ def main() -> None:
     from jitsu_spark.similarity.ann import (
         ivf_topk,
         nearest_centroid,
+        nearest_centroid_numpy,
         sampled_centroids,
     )
     from jitsu_spark.similarity.ivf_index import (
@@ -117,15 +118,21 @@ def main() -> None:
         spark, os.path.join(work, "ivf"), cent, n_buckets=n_buckets,
     )
 
+    # JITSU_IVF_ASSIGN=numpy: assignment via the Arrow/numpy matmul
+    # kernel (sync AND the full-recompute comparator) instead of the
+    # SQL cosine fold — the scale path when C*d dominates.
+    assign_via = os.environ.get("JITSU_IVF_ASSIGN", "sql")
+
     results: dict = {
         "n_vecs": n_vecs, "delta_vecs": delta_vecs,
         "delta_pct": round(100.0 * delta_vecs / n_vecs, 3),
         "n_batches": n_batches, "cpus": cpus,
         "n_buckets": n_buckets, "n_centroids": n_centroids,
+        "assign_via": assign_via,
     }
 
     t0 = time.monotonic()
-    sync_ivf_index(up, index)
+    sync_ivf_index(up, index, assign_via=assign_via)
     results["bootstrap_s"] = round(time.monotonic() - t0, 3)
 
     def _noop(df):
@@ -150,7 +157,7 @@ def main() -> None:
         )
         merge_batch(up, delta, batch_id=f"d{i}", job_id="up")
         t0 = time.monotonic()
-        sync_ivf_index(up, index)
+        sync_ivf_index(up, index, assign_via=assign_via)
         inc.append(round(time.monotonic() - t0, 3))
         t0 = time.monotonic()
         _noop(probe_ivf_index(index, queries, "vec_id", k=5, n_probe=4))
@@ -165,7 +172,11 @@ def main() -> None:
     full_probe = None
     for _ in range(3):
         t0 = time.monotonic()
-        _noop(nearest_centroid(cur, "vec_id", "embedding", cent))
+        _assign_fn = (
+            nearest_centroid_numpy if assign_via == "numpy"
+            else nearest_centroid
+        )
+        _noop(_assign_fn(cur, "vec_id", "embedding", cent))
         el = time.monotonic() - t0
         full_assign = el if full_assign is None else min(full_assign, el)
         t0 = time.monotonic()
