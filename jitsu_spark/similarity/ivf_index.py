@@ -58,22 +58,33 @@ def create_ivf_index(
     centroids: DataFrame,
     key_type: T.DataType = T.LongType(),
     n_buckets: int = 16,
+    assign_via: str = "sql",
 ) -> LakeTable:
     """Create the index table with a FROZEN coarse quantizer.
 
     ``centroids`` must be ``(_cent_id long, _cent_vec array<numeric>)``
     — e.g. ``ann.sampled_centroids`` (deterministic, SQL-oracle-able) or
     ``ann.kmeans_centroids`` (tighter cells). It is materialized to the
-    sidecar BEFORE the table commit so a crash between the two leaves no
-    half-created index (the table dir is what ``load`` keys on).
-    """
+    sidecar BEFORE the table commit (overwrite mode, so a crash between
+    the two is retryable — the table dir is what ``load`` keys on).
+
+    ``assign_via`` ("sql" or "numpy") is STRUCTURAL, exactly like the
+    centroids: retraction recomputes the pre-image's cells, so every
+    sync must use the kernel the stored rows were assigned under — the
+    two kernels can differ in the last ulps at 6dp rounding boundaries,
+    and a mixed history would leave permanently stale rows (delete
+    targeting a cell the stored row isn't in). It persists as a table
+    property; ``sync_ivf_index`` reads it back and refuses an
+    explicit override that disagrees."""
+    if assign_via not in ("sql", "numpy"):
+        raise ValueError(f"unknown assignment path {assign_via!r}")
     cent = centroids.select(
         F.col("_cent_id").cast("long").alias("_cent_id"),
         F.col("_cent_vec")
         .cast(T.ArrayType(T.DoubleType()))
         .alias("_cent_vec"),
     )
-    cent.write.parquet(os.path.join(root, _CENTROID_DIR))
+    cent.write.mode("overwrite").parquet(os.path.join(root, _CENTROID_DIR))
     n_cent = spark.read.parquet(os.path.join(root, _CENTROID_DIR)).count()
     return LakeTable.create(
         spark,
@@ -91,7 +102,9 @@ def create_ivf_index(
         properties={
             "write.mode": "mor",
             BUCKET_PREFIX_SEP_PROP: SEP,
-            PARAMS_PROP: json.dumps({"n_centroids": int(n_cent)}),
+            PARAMS_PROP: json.dumps(
+                {"n_centroids": int(n_cent), "assign_via": assign_via}
+            ),
         },
     )
 
@@ -110,28 +123,27 @@ def index_centroids(index: LakeTable) -> DataFrame:
 
 def _assign(
     rows: DataFrame, key: str, vec_col: str, cent: DataFrame,
-    via: str = "sql",
+    numpy_udf=None,
 ) -> DataFrame:
     """(key, vec, cell, cell_sim): nearest frozen centroid by cosine —
     sims 6dp-rounded before the argmax so float epsilons cannot flip a
     cell across engines, ties to the smaller centroid id (same contract
     as ``ann.nearest_centroid``). NULL/absent vectors index nothing.
 
-    ``via="sql"`` (default): broadcast against the C-row centroid set,
-    argmax via a partial-combining ``min_by`` — one exchanged row per
-    vector, never the N*C sim pairs; pure-SQL, oracle-auditable.
-    ``via="numpy"``: ONE Arrow-vectorized matmul per batch
-    (``ann.centroid_assign_udf``) — the scale path when assignment
-    compute dominates (large C·d); same 6dp contract, but numpy's
-    summation order can differ from the SQL fold in the last ulps."""
-    if via == "numpy":
-        from jitsu_spark.similarity.ann import centroid_assign_udf
-
-        assign = centroid_assign_udf(cent)
+    Default: broadcast against the C-row centroid set, argmax via a
+    partial-combining ``min_by`` — one exchanged row per vector, never
+    the N*C sim pairs; pure-SQL, oracle-auditable. With ``numpy_udf`` (a
+    prebuilt ``ann.centroid_assign_udf`` — built ONCE per sync, not per
+    derive call): ONE Arrow-vectorized matmul per batch — the scale
+    path when assignment compute dominates (large C·d); same 6dp
+    contract, but numpy's summation order can differ from the SQL fold
+    in the last ulps (and zero-norm inputs are never selected, where
+    the SQL NULL ordering may select them — degenerate vectors)."""
+    if numpy_udf is not None:
         out = (
             rows.select(F.col(key), F.col(vec_col).alias("_v"))
             .filter(F.col("_v").isNotNull())
-            .select(key, "_v", assign(F.col("_v")).alias("_a"))
+            .select(key, "_v", numpy_udf(F.col("_v")).alias("_a"))
         )
         return out.select(
             F.col(key),
@@ -139,8 +151,6 @@ def _assign(
             F.col("_a.cluster").alias("cell"),
             F.col("_a.cluster_sim").alias("cell_sim"),
         )
-    if via != "sql":
-        raise ValueError(f"unknown assignment path {via!r}")
     sims = (
         rows.select(F.col(key), F.col(vec_col).alias("_v"))
         .filter(F.col(vec_col).isNotNull())
@@ -175,20 +185,38 @@ def sync_ivf_index(
     vec_col: str = "embedding",
     job_id: str = "ivf-index",
     images: WindowImages | None = None,
-    assign_via: str = "sql",
+    assign_via: str | None = None,
 ) -> MirrorResult:
     """Advance the index to the upstream's current version — the frozen
-    centroids come from the index's own sidecar. Pass a shared
-    ``images`` when syncing several views of the same upstream in one
-    run (the window scan/reads run once across all of them).
-    ``assign_via="numpy"`` swaps the SQL cosine fold for the Arrow/numpy
-    matmul kernel — use when C·d makes assignment compute-bound (see
-    ``_assign``)."""
+    centroids AND the assignment kernel come from the index's own
+    metadata (both are structural: retraction recomputes the pre-image's
+    cells, so a kernel mismatch could delete against cells the stored
+    rows aren't in). Pass a shared ``images`` when syncing several views
+    of the same upstream in one run (the window scan/reads run once
+    across all of them). ``assign_via`` may be passed only as a
+    consistency assertion — a value that disagrees with the index's
+    persisted kernel raises."""
+    pinned = json.loads(index.snapshot().properties[PARAMS_PROP]).get(
+        "assign_via", "sql"
+    )
+    if assign_via is not None and assign_via != pinned:
+        raise ValueError(
+            f"index at {index.root} was created with assign_via="
+            f"{pinned!r}; syncing with {assign_via!r} would retract "
+            "against the wrong cells on rounding-boundary vectors"
+        )
     key = src.snapshot().key_field
     cent = index_centroids(index)
+    numpy_udf = None
+    if pinned == "numpy":
+        from jitsu_spark.similarity.ann import centroid_assign_udf
+
+        # built ONCE per sync: derive() runs twice (pre + post image),
+        # and the UDF construction collects the C x d centroid set
+        numpy_udf = centroid_assign_udf(cent)
 
     def derive(rows: DataFrame) -> DataFrame:
-        a = _assign(rows, key, vec_col, cent, via=assign_via)
+        a = _assign(rows, key, vec_col, cent, numpy_udf=numpy_udf)
         return a.select(
             F.concat(
                 F.col("cell").cast("string"),

@@ -72,13 +72,18 @@ def encode_documents(
     text_col: str = "text",
     strategy: str | None = None,
     map_literal_max: int = 4096,
+    udf_vocab_max: int = 1_000_000,
 ) -> DataFrame:
     """Per document: ``n_tokens``, ``n_oov`` and ``token_ids`` (array of
     long, OOV as -1, in original token order).
 
     ``strategy``: None (auto — map literal when the vocab fits in
-    ``map_literal_max`` rows, else the broadcast-dict Arrow UDF), "map",
-    "udf", or "join"."""
+    ``map_literal_max`` rows, the broadcast-dict Arrow UDF up to
+    ``udf_vocab_max``, else the distributed join), "map", "udf", or
+    "join". The udf cap bounds the driver-side vocab collect: a real
+    tokenizer vocab (32k–256k) is far under it, but a raw
+    distinct-token frame from a web corpus is not — auto must never
+    turn a previously-distributed encode into a driver OOM."""
     if strategy not in (None, "map", "udf", "join"):
         raise ValueError(f"unknown encode strategy {strategy!r}")
     if strategy in (None, "map"):
@@ -89,11 +94,23 @@ def encode_documents(
         if strategy == "map":
             raise ValueError(
                 f"vocab exceeds map_literal_max={map_literal_max}; "
-                "use strategy='join'"
+                "use strategy='udf' (or 'join')"
             )
-    if strategy == "join":
-        return _encode_via_join(docs, vocab, id_col, text_col)
-    return _encode_via_udf(docs, vocab, id_col, text_col)
+    if strategy in (None, "udf"):
+        # bounded existence check, not a full count
+        over = (
+            vocab.select("token").limit(udf_vocab_max + 1).count()
+            > udf_vocab_max
+        )
+        if not over:
+            return _encode_via_udf(docs, vocab, id_col, text_col)
+        if strategy == "udf":
+            raise ValueError(
+                f"vocab exceeds udf_vocab_max={udf_vocab_max} rows — "
+                "collecting it would risk the driver; use "
+                "strategy='join' or raise udf_vocab_max deliberately"
+            )
+    return _encode_via_join(docs, vocab, id_col, text_col)
 
 
 def _encode_via_map(

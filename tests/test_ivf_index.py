@@ -134,7 +134,9 @@ def test_probe_matches_batch_ivf_topk(spark, tmpdir_path):
     index = create_ivf_index(
         spark, os.path.join(tmpdir_path, "ix"), cent, n_buckets=8
     )
-    corpus = [(i, _vec(rng), "u") for i in range(1, 31)]
+    # a NULL-embedding corpus row must not break probe==batch parity:
+    # both surfaces drop rows without an embedding
+    corpus = [(i, _vec(rng), "u") for i in range(1, 31)] + [(99, None, "u")]
     _apply(src, spark, corpus, 0)
     sync_ivf_index(src, index)
 
@@ -210,13 +212,17 @@ def test_numpy_assignment_matches_sql_path(spark, tmpdir_path):
 
     rng = random.Random(31)
     src = _mk_src(spark, os.path.join(tmpdir_path, "src"))
-    cent = _centroid_frame(spark, [(i, _vec(rng)) for i in range(5)])
+    base_cents = [(i, _vec(rng)) for i in range(5)]
+    # centroid 5 DUPLICATES centroid 0: cells 0 and 5 score identically
+    # for every vector, so any vector nearest to that direction
+    # exercises the tie-break (must pick the smaller id, 0) in BOTH
+    # kernels
+    cent = _centroid_frame(spark, base_cents + [(5, base_cents[0][1])])
     rows = [(i, _vec(rng), "u") for i in range(1, 41)] + [
         (41, None, "u"),
-        # exact tie: the query vector equals centroid-equidistant zero
-        # offsets are unlikely; instead duplicate a centroid so two
-        # cells score identically for its own vector
-        (42, [0.5, 0.5, 0.5, 0.5], "u"),
+        # a vector exactly equal to the duplicated centroid: guaranteed
+        # top-sim tie between cells 0 and 5
+        (42, base_cents[0][1], "u"),
     ]
     _apply(src, spark, rows, 0)
     cur = src.read().select("vec_id", "embedding")
@@ -237,17 +243,26 @@ def test_numpy_assignment_matches_sql_path(spark, tmpdir_path):
         ).collect()
     }
     assert got == want
+    # the tied vector resolved to the SMALLER of the two identical cells
+    assert {r[1] for r in got if r[0] == 42} == {0}
 
     # through the sync path: identical index state
     ix_sql = create_ivf_index(
         spark, os.path.join(tmpdir_path, "ix1"), cent, n_buckets=8
     )
     ix_np = create_ivf_index(
-        spark, os.path.join(tmpdir_path, "ix2"), cent, n_buckets=8
+        spark, os.path.join(tmpdir_path, "ix2"), cent, n_buckets=8,
+        assign_via="numpy",
     )
     sync_ivf_index(src, ix_sql)
     sync_ivf_index(src, ix_np, assign_via="numpy")
     assert _actual_assign(ix_np) == _actual_assign(ix_sql)
+    # the kernel is structural: syncing under the OTHER kernel must
+    # refuse (a mixed history could retract against the wrong cells)
+    with pytest.raises(ValueError, match="assign_via"):
+        sync_ivf_index(src, ix_np, assign_via="sql")
+    with pytest.raises(ValueError, match="assign_via"):
+        sync_ivf_index(src, ix_sql, assign_via="numpy")
 
 
 def test_probe_read_prunes_to_probed_cells_buckets(spark, tmpdir_path):

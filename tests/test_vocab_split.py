@@ -136,3 +136,13 @@ def test_encode_map_and_join_paths_equivalent(spark):
         "doc_id", "n_tokens", "n_oov", F.col("token_ids").cast("string").alias("s")
     )
     assert auto.exceptAll(j).count() == 0
+    # above udf_vocab_max, auto degrades to the distributed join (never
+    # an unbounded driver collect) and explicit udf refuses
+    auto2 = encode_documents(
+        df, vocab, map_literal_max=2, udf_vocab_max=2
+    ).select(
+        "doc_id", "n_tokens", "n_oov", F.col("token_ids").cast("string").alias("s")
+    )
+    assert auto2.exceptAll(j).count() == 0
+    with pytest.raises(ValueError, match="udf_vocab_max"):
+        encode_documents(df, vocab, strategy="udf", udf_vocab_max=2)

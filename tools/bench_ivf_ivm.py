@@ -110,18 +110,20 @@ def main() -> None:
         job_id="up",
     )
 
+    # JITSU_IVF_ASSIGN=numpy: assignment via the Arrow/numpy matmul
+    # kernel (sync AND the full-recompute comparator) instead of the
+    # SQL cosine fold — the scale path when C*d dominates. The kernel
+    # is structural, so it's pinned at index creation.
+    assign_via = os.environ.get("JITSU_IVF_ASSIGN", "sql")
+
     cent = sampled_centroids(corpus, "vec_id", "embedding", n_centroids)
     cent_dir = os.path.join(work, "cent")
     cent.write.parquet(cent_dir)
     cent = spark.read.parquet(cent_dir)
     index = create_ivf_index(
         spark, os.path.join(work, "ivf"), cent, n_buckets=n_buckets,
+        assign_via=assign_via,
     )
-
-    # JITSU_IVF_ASSIGN=numpy: assignment via the Arrow/numpy matmul
-    # kernel (sync AND the full-recompute comparator) instead of the
-    # SQL cosine fold — the scale path when C*d dominates.
-    assign_via = os.environ.get("JITSU_IVF_ASSIGN", "sql")
 
     results: dict = {
         "n_vecs": n_vecs, "delta_vecs": delta_vecs,
