@@ -89,6 +89,16 @@ def main() -> None:
         .select("vec_id", "embedding")
         .repartition(64)
     )
+    # JITSU_IVF_DIM_TILE=k: tile every embedding k times (a 32-dim base
+    # becomes 32k dims). Tiling preserves all cosines exactly (same
+    # direction), so assignments/probes are unchanged while the
+    # assignment compute grows k-fold — isolates the C*d term real
+    # 768/1024-dim embeddings pay.
+    dim_tile = int(os.environ.get("JITSU_IVF_DIM_TILE", "1"))
+    if dim_tile > 1:
+        corpus = corpus.withColumn(
+            "embedding", F.flatten(F.array_repeat(F.col("embedding"), dim_tile))
+        )
     corpus_dir = os.path.join(work, "vecs")
     corpus.write.parquet(corpus_dir)
     corpus = spark.read.parquet(corpus_dir)
@@ -130,7 +140,7 @@ def main() -> None:
         "delta_pct": round(100.0 * delta_vecs / n_vecs, 3),
         "n_batches": n_batches, "cpus": cpus,
         "n_buckets": n_buckets, "n_centroids": n_centroids,
-        "assign_via": assign_via,
+        "assign_via": assign_via, "dim_tile": dim_tile,
     }
 
     t0 = time.monotonic()
