@@ -183,14 +183,27 @@ def _hex_byte(col, h_expr, pos: int):
 
 
 def q_ua_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P12 UA-parse enrichment over a deterministic synthetic UA column."""
+    """P12 UA-parse enrichment over a deterministic synthetic UA column.
+
+    r7 shape: the UA corpus is an 8-entry literal list, so the ~30 regex
+    rules run over the 8 DISTINCT strings (a broadcast dim parsed by the
+    same ``with_parsed_ua`` operator) and events broadcast-join on the
+    md5-picked index — dictionary-encoded enrichment instead of per-event
+    regex evaluation (guide §1.2 step 1: same result, ~n_distinct regex
+    evaluations instead of ~n_rows). Result-identical to parsing per
+    event because the parse is a pure function of the UA string."""
     from jitsu_spark.operators import with_parsed_ua
 
     e = _read(spark, sf_dir, "events").select("event_id")
     h = F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#ua")))
     idx = _hex_byte(None, h, 1) % 8 + 1
-    ua = F.element_at(F.array(*[F.lit(u) for u in _UA_LIST]), idx)
-    out = with_parsed_ua(e.withColumn("user_agent", ua), "user_agent")
+    dim = spark.createDataFrame(
+        [(i + 1, u) for i, u in enumerate(_UA_LIST)], "ua_idx int, user_agent string"
+    )
+    parsed = with_parsed_ua(dim, "user_agent")
+    out = e.withColumn("_uaidx", idx).join(
+        F.broadcast(parsed), F.col("_uaidx") == F.col("ua_idx")
+    )
     return out.select(
         "event_id", "ua_family", "ua_version", "ua_os_family",
         "ua_os_version", "ua_device_family", "ua_device_brand",
@@ -205,12 +218,23 @@ def q_geo_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _read(spark, sf_dir, "events").select("event_id")
     h = F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#ip")))
+    o1, o2, o3 = (_hex_byte(None, h, p) for p in (1, 3, 5))
     ip = F.concat_ws(
         ".",
         F.lit("10"),
-        _hex_byte(None, h, 1).cast("string"),
-        _hex_byte(None, h, 3).cast("string"),
-        _hex_byte(None, h, 5).cast("string"),
+        o1.cast("string"),
+        o2.cast("string"),
+        o3.cast("string"),
+    )
+    # the octets are numeric already (r7): hand the numeric IP to the
+    # operator so it skips the split/try_cast re-parse of the string we
+    # just built — same value by construction (octets are conv() of two
+    # hex digits, always 0..255)
+    ip_num = (
+        F.lit(10 * 16777216)
+        + o1.cast("long") * 65536
+        + o2.cast("long") * 256
+        + o3.cast("long")
     )
     dim = spark.range(256).select(
         (F.lit(10 * 16777216) + F.col("id") * 65536).alias("net_start"),
@@ -222,7 +246,10 @@ def q_geo_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") + 10000).cast("string").alias("zip"),
         F.concat(F.lit("R"), (F.col("id") % 8).cast("string")).alias("region"),
     )
-    out = with_geo_lookup(e.withColumn("ip", ip), dim, ip_col="ip")
+    out = with_geo_lookup(
+        e.withColumn("ip", ip).withColumn("_ipn", ip_num),
+        dim, ip_col="ip", ip_num_col="_ipn",
+    )
     return out.select(
         "event_id", "ip", "geo_country", "geo_city", "geo_latitude",
         "geo_longitude", "geo_zip", "geo_region",
@@ -809,11 +836,18 @@ def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced curation: assign every embedding to its nearest
     deterministic hash-sampled centroid (64 centroids — count independent
     of corpus size), cap each semantic cluster at 10 members via a salted
-    md5 rank (SemDeDup-style rebalancing)."""
+    md5 rank (SemDeDup-style rebalancing).
+
+    r7: assignment runs through the Arrow/numpy matmul kernel
+    (``assign_via="numpy"``) instead of N*C codegen'd cosine folds — the
+    guide-§4.2 "vectorized native library inside the UDF" path, same 6dp
+    argmax contract (equivalence pinned in tests; oracle re-verified)."""
     from jitsu_spark.similarity.curation import cluster_balanced_sample
 
     e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return cluster_balanced_sample(e, "vec_id", cap=10, n_centroids=64, seed=4)
+    return cluster_balanced_sample(
+        e, "vec_id", cap=10, n_centroids=64, seed=4, assign_via="numpy"
+    )
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -145,30 +145,35 @@ def lsh_candidate_pairs(
     corpus the guard exists for — so the metric silently vanishes.)
     """
     stacked = band_rows(df, id_col, text_col, k, bands, shingle_n)
+    # r7 shape: ONE aggregation per band bucket (sorted id array), pairs
+    # generated bucket-locally with posexplode + tail-slice explode. The
+    # previous self-equi-join evaluated the whole shingle+minhash subtree
+    # TWICE (once streamed, once as the broadcast build side — visible as
+    # two full Scan->Generate branches in the physical plan) and shuffled
+    # the id stream once per side; this computes signatures once and
+    # shuffles once (guide §2.4: remove shuffles outright / audit
+    # duplicated subtrees). Output volume is unchanged — sum over buckets
+    # of |bucket|^2 pairs either way — and per-row memory is O(bucket), the
+    # same bound the join's hash relation already imposed; ``max_bucket_size``
+    # (below) remains the guard for degenerate buckets.
+    buckets = stacked.groupBy("band_no", "bh").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
+    )
     if max_bucket_size is not None:
-        # one window pass sized per (band_no, bh); its shuffle partitioning
-        # is the same key the self-join needs, so Catalyst reuses the
-        # exchange — the cap costs no extra shuffle of the id stream
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band_no", "bh")
-        stacked = (
-            stacked.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
-    left = stacked.alias("l")
-    right = stacked.alias("r")
+        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
     pairs = (
-        left.join(
-            right,
-            (F.col("l.band_no") == F.col("r.band_no"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+        buckets.filter(F.size("_ids") >= 2)
+        .select(F.col("_ids"), F.posexplode("_ids").alias("_i", "id_a"))
         .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            "id_a",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+            ).alias("id_b"),
         )
+        # strict inequality: duplicate ids in a bucket (possible only when
+        # the input carries duplicate id rows) must not emit (x, x), same
+        # as the join's `<` condition
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
     return pairs

@@ -144,14 +144,31 @@ def _overwrite_where_once(
         existing = table.read(snap=snap)
         existing = existing.select(*alignment_columns(existing, target))
     survivors = existing.filter(~predicate)
-    fresh = replacement.select(*alignment_columns(replacement, target))
-    n_inserted = fresh.count()
-    result = (
-        survivors.unionByName(fresh)
-        .withColumn(BUCKET_COL, table.bucket_expr(F.col(key)))
-        .repartition(snap.n_buckets, F.col(BUCKET_COL))
-    )
-    new_files = table._write_files(result)
+    # r7: materialize the replacement ONCE — the old shape ran
+    # `fresh.count()` and then the write, each executing the full
+    # replacement pipeline (for an interval sync that is the whole report
+    # aggregation, twice per interval — the guide-§1.4 count trap). A lazy
+    # persist makes the count job double as the materialization (2 Spark
+    # jobs per chunk instead of 3); the write reads the cached blocks and
+    # the cache is dropped right after. An Observation on the write was
+    # rejected: AQE's empty-relation propagation prunes CollectMetrics
+    # when the replacement is empty (a no-rows interval), which would
+    # hang the metrics read (the merge kernel documents the same hazard).
+    from pyspark import StorageLevel
+
+    fresh = replacement.select(
+        *alignment_columns(replacement, target)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_inserted = fresh.count()
+        result = (
+            survivors.unionByName(fresh)
+            .withColumn(BUCKET_COL, table.bucket_expr(F.col(key)))
+            .repartition(snap.n_buckets, F.col(BUCKET_COL))
+        )
+        new_files = table._write_files(result)
+    finally:
+        fresh.unpersist()
     schemas = dict(snap.schemas)
     sid = snap.current_schema_id
     if plan.changed:

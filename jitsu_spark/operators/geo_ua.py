@@ -63,12 +63,19 @@ def with_geo_lookup(
     geo_dim: DataFrame,
     ip_col: str = "source_ip",
     out_prefix: str = "geo_",
+    ip_num_col: str | None = None,
 ) -> DataFrame:
     """Enrich ``df`` with geo columns by CIDR-range lookup of ``ip_col``.
 
     ``geo_dim`` columns: net_start, net_end (long, inclusive) + any of
     GEO_FIELDS. Events whose IP matches no block (or is malformed) keep
     NULL geo columns — the reference skips enrichment on resolve errors.
+
+    ``ip_num_col`` (optional): a column already holding the IP as a long
+    (NULL for malformed). Callers that CONSTRUCT the dotted string from
+    numeric octets (or store both forms) skip the per-row
+    split/try_cast/range-check re-parse of ``ip_col`` — the caller
+    asserts the two columns agree.
 
     Blocks must be NON-OVERLAPPING (the MaxMind invariant): an overlapping
     dim would silently duplicate fact rows through the range join. Call
@@ -86,7 +93,11 @@ def with_geo_lookup(
         ).alias("_b16"),
         *[F.col(c).alias(f"{out_prefix}{c}") for c in geo_cols],
     )
-    ip_num = ip_to_long(F.col(ip_col))
+    ip_num = (
+        F.col(ip_num_col).cast("long")
+        if ip_num_col is not None
+        else ip_to_long(F.col(ip_col))
+    )
     fact = df.withColumn("_ip_num", ip_num).withColumn(
         "_b16", F.shiftright(F.col("_ip_num"), 16)
     )

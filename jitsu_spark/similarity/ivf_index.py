@@ -78,6 +78,17 @@ def create_ivf_index(
     explicit override that disagrees."""
     if assign_via not in ("sql", "numpy"):
         raise ValueError(f"unknown assignment path {assign_via!r}")
+    # ADVICE r6: creating over an EXISTING index must fail BEFORE touching
+    # the sidecar — the old code overwrote the frozen quantizer (stored
+    # rows were assigned under it) and only then hit CommitConflict,
+    # leaving a live index whose future syncs retract against the wrong
+    # cells. Overwrite mode below stays only for the crash-retry window
+    # (sidecar written, table create never committed).
+    if os.path.exists(os.path.join(root, "metadata")):
+        raise ValueError(
+            f"IVF index already exists at {root!r}; its quantizer is "
+            "frozen — create a new root instead of re-creating this one"
+        )
     cent = centroids.select(
         F.col("_cent_id").cast("long").alias("_cent_id"),
         F.col("_cent_vec")
@@ -258,6 +269,10 @@ def probe_ivf_index(
     from pyspark.sql.window import Window
 
     cent = index_centroids(index)
+    # ADVICE r6: a NULL query embedding yields NULL sims that would still
+    # receive row_number ranks; drop it up front, mirroring ivf_topk —
+    # keeps the probe==batch-oracle contract on degenerate data
+    queries = queries.filter(F.col(vec_col).isNotNull())
     q = queries.select(
         F.col(query_id).alias("_qid"), F.col(vec_col).alias("_qvec")
     )
