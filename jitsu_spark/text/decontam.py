@@ -59,32 +59,34 @@ def ngram_contamination(
     def key(col):
         return F.xxhash64(col) if hash_shingles else col
 
-    sh = docs.select(
-        F.col(id_col), _shingles(F.col(text_col), n).alias("_sh")
-    )
     bench_keys = (
         bench.select(F.explode(_shingles(F.col(bench_text_col), n)).alias("_s"))
         .select(key(F.col("_s")).alias("_bk"))
         .distinct()
     )
-    probe = sh.select(F.col(id_col), F.explode("_sh").alias("_s")).select(
-        F.col(id_col), key(F.col("_s")).alias("_dk")
-    )
-    hits = (
-        probe.join(F.broadcast(bench_keys), probe["_dk"] == bench_keys["_bk"])
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_hit"))  # shingles are distinct per doc
-    )
-    if broadcast_hits:
-        # caller-asserted bound on contaminated-doc count; without it AQE
-        # decides from the hit frame's ACTUAL post-shuffle size
-        hits = F.broadcast(hits)
+    # ONE shingling pass (r7): the corpus's (distinct-per-doc) shingles are
+    # exploded once, LEFT-joined against the broadcast bench keys, and both
+    # per-doc outputs fall out of a single partial-combining aggregate —
+    # count(*) is the shingle-set size, count(_bk) the hit count. The old
+    # shape computed _shingles twice (an n_shingles projection branch plus
+    # the probe branch; guide §2.3 "project before the exchange" /
+    # duplicated-subtree audit). Every doc survives the explode because
+    # _shingles never returns NULL or an empty array (short/NULL docs get
+    # the one whole-doc shingle), so no restore join is needed. The
+    # ``broadcast_hits`` escape hatch is obsolete in this shape (the hit
+    # count never becomes a join side) and is accepted for API
+    # compatibility.
+    _ = broadcast_hits
+    probe = docs.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), n)).alias("_s")
+    ).select(F.col(id_col), key(F.col("_s")).alias("_dk"))
     return (
-        sh.select(F.col(id_col), F.size("_sh").cast("long").alias("n_shingles"))
-        .join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_shingles",
-            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        probe.join(
+            F.broadcast(bench_keys), probe["_dk"] == bench_keys["_bk"], "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.count("_bk").cast("long").alias("n_hit"),
         )
     )
