@@ -27,6 +27,43 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread an unsplittable input over the cluster (guide §2.5 "input
+    skew": one huge unsplittable file -> repartition immediately after
+    the read). The driver tables are single-row-group parquet files, so
+    the scan itself can never exceed ~1 task per file no matter how many
+    cores exist; compute-heavy queries over them would otherwise run
+    effectively single-threaded. The shuffle moves only the (small)
+    source bytes once; round-robin repartition is retry-deterministic via
+    Spark's sort-before-repartition. Scale-adaptive: sized from the
+    session's parallelism, not a constant."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    total = 0
+    root = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(root):
+        return os.path.getsize(root)
+    for dirpath, _, files in os.walk(root):
+        total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+    return total
+
+
+def _spread_big(
+    spark: SparkSession, sf_dir: str, name: str, df: DataFrame,
+    min_bytes: int = 4 << 20,
+) -> DataFrame:
+    """Size-conditional :func:`_spread`: repartition only when the table
+    is big enough for the redistribution to pay for its shuffle
+    (measured: at sub-MB inputs the extra exchange costs ~0.1-0.3 s and
+    the single-task compute is already cheap; at 10x volumes the same
+    queries win 2-20x). Driver-side stat of the parquet dir — no job."""
+    if _table_bytes(sf_dir, name) >= min_bytes:
+        return _spread(spark, df)
+    return df
+
+
 _SCRATCH: str | None = None
 
 
@@ -123,7 +160,8 @@ def q_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_flatten_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jitsu_spark.operators.flatten import flatten_json_col
 
-    e = _read(spark, sf_dir, "events").select("event_id", "props")
+    e = _spread_big(spark, sf_dir, "events",
+                    _read(spark, sf_dir, "events").select("event_id", "props"))
     out = flatten_json_col(
         e, "props", T.StructType([T.StructField("k", T.LongType())])
     )
@@ -194,7 +232,7 @@ def q_ua_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     event because the parse is a pure function of the UA string."""
     from jitsu_spark.operators import with_parsed_ua
 
-    e = _read(spark, sf_dir, "events").select("event_id")
+    e = _spread(spark, _read(spark, sf_dir, "events").select("event_id"))
     h = F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#ua")))
     idx = _hex_byte(None, h, 1) % 8 + 1
     dim = spark.createDataFrame(
@@ -216,7 +254,7 @@ def q_geo_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic 256-block CIDR dimension (broadcast plan-asserted)."""
     from jitsu_spark.operators import with_geo_lookup
 
-    e = _read(spark, sf_dir, "events").select("event_id")
+    e = _spread(spark, _read(spark, sf_dir, "events").select("event_id"))
     h = F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#ip")))
     o1, o2, o3 = (_hex_byte(None, h, p) for p in (1, 3, 5))
     ip = F.concat_ws(
@@ -308,7 +346,7 @@ def q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jitsu_spark.text import quality_features
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread_big(spark, sf_dir, "documents", _read(spark, sf_dir, "documents").select("doc_id", "text"))
     return quality_features(d).select(
         "doc_id", "n_words", "n_alpha", "n_punct", "mean_word_len_x100", "is_short"
     )
@@ -345,7 +383,7 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags. Composes four independently-oracled primitives."""
     from jitsu_spark.text.corpus import select_training_corpus
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _read(spark, sf_dir, "documents").select("doc_id", "text"))
     return select_training_corpus(
         d, min_words=16, languages=("en",), min_jaccard=0.5
     )
@@ -359,7 +397,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes shingling, the bench set, and the overlap join in SQL."""
     from jitsu_spark.text.decontam import ngram_contamination
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _read(spark, sf_dir, "documents").select("doc_id", "text"))
     bench = d.filter(F.col("doc_id") % 37 == 0)
     train = d.filter(F.col("doc_id") % 37 != 0)
     return ngram_contamination(train, bench, n=3).select(
@@ -422,7 +460,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicity fractions)."""
     from jitsu_spark.text.repetition import repetition_signals
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _read(spark, sf_dir, "documents").select("doc_id", "text"))
     return repetition_signals(d)
 
 
@@ -431,7 +469,7 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-occurrence-wins, documents reassembled from surviving passages."""
     from jitsu_spark.text.passages import dedup_passages
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread_big(spark, sf_dir, "documents", _read(spark, sf_dir, "documents").select("doc_id", "text"))
     return dedup_passages(d, window=10)
 
 
@@ -767,7 +805,7 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     a CSV string (ARRAY results are gate-unsafe — the r1/r2 lesson)."""
     from jitsu_spark.text.vocab import build_vocab, encode_documents
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread_big(spark, sf_dir, "documents", _read(spark, sf_dir, "documents").select("doc_id", "text"))
     vocab = build_vocab(d, 256)
     enc = encode_documents(d, vocab)
     return enc.select(
@@ -788,10 +826,14 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style bigram-LM scoring: train an add-one-smoothed bigram
     model on the corpus itself, then score every document by its total
     negative log-likelihood. The only float step is the per-bigram
-    round(-ln(p)*1e8) -> BIGINT; all aggregation is exact integers."""
+    round(-ln(p)*1e8) -> BIGINT; all aggregation is exact integers.
+    (r7 note: a multiplicity-weighted train+score restructure was
+    measured and REVERTED — it won 2x at 10x docs but lost ~0.7 s at
+    sf0.1, where the model joins already broadcast; see
+    OPTIMIZATION_r07.md.)"""
     from jitsu_spark.text.lm import bigram_model, score_documents
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread_big(spark, sf_dir, "documents", _read(spark, sf_dir, "documents").select("doc_id", "text"))
     return score_documents(d, bigram_model(d)).select(
         "doc_id", "n_bigrams", "sum_nll_e8"
     )
@@ -802,7 +844,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-shuffle sequence/explode/slice projection."""
     from jitsu_spark.text.chunk import chunk_documents
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread_big(spark, sf_dir, "documents", _read(spark, sf_dir, "documents").select("doc_id", "text"))
     return chunk_documents(d, 64, 48)
 
 
@@ -811,7 +853,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores, term-ascending tiebreak)."""
     from jitsu_spark.text.tfidf import tfidf_top_terms
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread_big(spark, sf_dir, "documents", _read(spark, sf_dir, "documents").select("doc_id", "text"))
     return tfidf_top_terms(d, 5)
 
 
@@ -844,7 +886,7 @@ def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax contract (equivalence pinned in tests; oracle re-verified)."""
     from jitsu_spark.similarity.curation import cluster_balanced_sample
 
-    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _spread_big(spark, sf_dir, "embeddings", _read(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     return cluster_balanced_sample(
         e, "vec_id", cap=10, n_centroids=64, seed=4, assign_via="numpy"
     )
@@ -856,7 +898,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum proves exact content AND order of every pack."""
     from jitsu_spark.text.packing import pack_tokens
 
-    d = _read(spark, sf_dir, "documents").select(
+    d = _spread_big(spark, sf_dir, "documents", _read(spark, sf_dir, "documents")).select(
         "doc_id",
         F.transform(
             F.split(F.col("text"), " "),
@@ -881,7 +923,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jitsu_spark.dedup import minhash_signature
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _read(spark, sf_dir, "documents").select("doc_id", "text"))
     return minhash_signature(d, "text", k=4).select(
         "doc_id", "mh0", "mh1", "mh2", "mh3"
     )
@@ -890,7 +932,7 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jitsu_spark.dedup import simhash
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread_big(spark, sf_dir, "documents", _read(spark, sf_dir, "documents").select("doc_id", "text"))
     return simhash(d, "doc_id", "text")
 
 
@@ -901,18 +943,24 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair surface, not just the fingerprints."""
     from jitsu_spark.dedup.simhash import simhash_near_pairs
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread_big(spark, sf_dir, "documents", _read(spark, sf_dir, "documents").select("doc_id", "text"))
     return simhash_near_pairs(d, "doc_id", "text", max_hamming=4).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k; r7: the corpus x query similarity block runs
+    through the Arrow/numpy matmul path (via="numpy") instead of Q
+    codegen'd fold expressions per corpus row — same 4dp-rounded surface
+    (oracle re-verified)."""
     from jitsu_spark.similarity import cosine_topk
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _read(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 8)
-    return cosine_topk(queries, emb, "vec_id", "vec_id", "embedding", k=5)
+    return cosine_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", k=5, via="numpy"
+    )
 
 
 def q_ga_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1131,7 +1179,8 @@ def q_cluster_balanced_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregate; decimal sums for exact cross-engine math."""
-    l = _read(spark, sf_dir, "lineitem")
+    l = _spread_big(spark, sf_dir, "lineitem", _read(spark, sf_dir, "lineitem"),
+                    min_bytes=32 << 20)
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -1325,7 +1374,7 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_signature's exact oracle)."""
     from jitsu_spark.dedup import lsh_candidate_pairs
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _read(spark, sf_dir, "documents").select("doc_id", "text"))
     # word-trigram shingles: the synthetic corpus shares a tiny vocabulary,
     # so unigram shingles would collide almost everywhere
     return lsh_candidate_pairs(d, "doc_id", "text", k=8, bands=4, shingle_n=3)
@@ -1339,7 +1388,7 @@ def q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no float crosses the gate surface."""
     from jitsu_spark.dedup.minhash import ngram_jaccard_pairs
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _read(spark, sf_dir, "documents").select("doc_id", "text"))
     return ngram_jaccard_pairs(
         d, "doc_id", "text", shingle_n=3, k=8, bands=4
     ).select(
@@ -1356,7 +1405,7 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     group. The oracle recomputes the components with a recursive CTE."""
     from jitsu_spark.dedup import near_dup_components
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _read(spark, sf_dir, "documents").select("doc_id", "text"))
     return near_dup_components(
         d, "doc_id", "text", min_jaccard=0.5, k=8, bands=4, shingle_n=3
     )
@@ -1366,7 +1415,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path (rows-only; recall vs exact is pytest-verified)."""
     from jitsu_spark.similarity import cosine_topk_lsh
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _spread_big(spark, sf_dir, "embeddings", _read(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 8)
     return cosine_topk_lsh(
         queries, emb, "vec_id", "vec_id", "embedding", k=5, dim=128, n_planes=8,
@@ -1384,7 +1433,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution — same plumbing, non-empty result."""
     from jitsu_spark.similarity import embedding_near_dups
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _spread_big(spark, sf_dir, "embeddings", _read(spark, sf_dir, "embeddings"))
     return embedding_near_dups(
         emb, "vec_id", "embedding", threshold=0.3, n_planes=8, seed=42
     ).select("id_a", "id_b", "sim")
@@ -1469,7 +1518,7 @@ def q_near_dup_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE oracle (algorithm equivalence under the driver gate)."""
     from jitsu_spark.dedup import near_dup_components
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _read(spark, sf_dir, "documents").select("doc_id", "text"))
     return near_dup_components(
         d, "doc_id", "text", min_jaccard=0.5, k=8, bands=4, shingle_n=3,
         algorithm="star",

@@ -34,16 +34,29 @@ def _tokens(col: Column) -> Column:
 def _shingles(col: Column, n: int) -> Column:
     """Word n-gram shingles as strings (distinct).
 
+    r7 construction: ``n`` whole-array slices zipped elementwise
+    (gram_i = t_i + " " + t_{i+1} + ... + t_{i+n-1}) instead of one
+    3-element ``slice`` + ``concat_ws`` per POSITION — the per-position
+    shape re-allocated a small array per gram and measured 5x slower at
+    10x docs (11.9 s -> 2.4 s for the gram projection alone). Identical
+    output: split() tokens are never NULL, so pairwise concat equals
+    concat_ws.
+
     Documents shorter than ``n`` words yield one whole-doc shingle —
-    without the guard, F.sequence(0, size-n) goes negative and the
-    slice(toks, 0, n) crashes (INVALID_PARAMETER_VALUE.START) on any
-    short/empty doc. CaseWhen evaluates branches lazily, so the guarded
-    branch never runs for short docs."""
+    without the guard the n-1-shifted slices would get a non-positive
+    length and crash on any short/empty doc. CaseWhen evaluates branches
+    lazily, so the guarded branch never runs for short docs."""
     toks = _tokens(col)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    cnt = F.size(toks) - (n - 1)
+    grams = F.slice(toks, 1, cnt)
+    for j in range(2, n + 1):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j, cnt),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.array_distinct(
         F.when(F.size(toks) >= n, grams).otherwise(
             F.array(F.concat_ws(" ", toks))

@@ -408,12 +408,22 @@ class SingerTapJob:
                 F.col("seq"),
                 F.lit("u").alias("op"),
             )
-            res = merge_batch(
-                table,
-                batch,
-                batch_id=f"p{state_sig}",
-                job_id=f"{self.job_id}/{stream}",
-            )
+            # r7: parse the spool ONCE per portion — the merge kernel's
+            # consumers (stats pre-pass, broadcast key build, write job)
+            # would otherwise each re-read and re-from_json the JSON
+            # spool; the lazy persist materializes on the first of them
+            from pyspark import StorageLevel
+
+            batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                res = merge_batch(
+                    table,
+                    batch,
+                    batch_id=f"p{state_sig}",
+                    job_id=f"{self.job_id}/{stream}",
+                )
+            finally:
+                batch.unpersist()
             counts[stream] = 0 if res.skipped else res.n_keys
 
         # ACTIVATE_VERSION purge (public Singer FULL_TABLE contract): rows

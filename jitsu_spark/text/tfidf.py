@@ -43,12 +43,20 @@ def tfidf_top_terms(
     tf = toks.groupBy(id_col, "token").agg(
         F.count("*").cast("long").alias("tf")
     )
-    df_ = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    # r7: document frequency as a window count over the SAME tf frame —
+    # the previous tf->df aggregate + tf JOIN df shape evaluated the
+    # whole explode+tf subtree twice (the two consumers shuffle tf on
+    # different keys, so no exchange reuse) and shuffled it a third time
+    # for the join. One tf pass, same exchange count, join removed; df
+    # values are identical (every tf row's token trivially exists in its
+    # own partition). Per-token window state is one count — no per-doc
+    # ordering, so a hot token costs a scan, not a sort-heavy rank.
+    wdf = Window.partitionBy("token")
     n = non_empty(docs, text_col).agg(
         F.count("*").cast("long").alias("n_docs")
     )
     scored = (
-        tf.join(df_, on="token")
+        tf.withColumn("df", F.count("*").over(wdf).cast("long"))
         .crossJoin(F.broadcast(n))
         .select(
             F.col(id_col),
