@@ -1475,9 +1475,12 @@ def q_transform_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         transform_events,
     )
 
-    e = _read(spark, sf_dir, "events").select(
+    # r7: spread the single-row-group scan — the per-row user function
+    # runs in Python workers, and one input partition means ONE worker
+    # processes every event (guide §4 / §2.5)
+    e = _spread(spark, _read(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type"
-    )
+    ))
 
     def fn(ev):
         if ev["event_type"] == "error":

@@ -62,6 +62,27 @@ def _scan_entries(table: LakeTable, entries: list[dict], snap, target) -> DataFr
     return out
 
 
+def _observed_count(obs, df, timeout_s: float = 30.0) -> int:
+    """Read an Observation's row count with a hang guard: the metrics
+    arrive with the action that executed the observed plan, so this
+    normally returns immediately — but if a future optimizer change eats
+    the CollectMetrics node on some plan shape, fall back to counting
+    ``df`` directly instead of blocking a sync forever."""
+    import threading
+
+    holder: dict = {}
+
+    def read() -> None:
+        holder["v"] = obs.get
+
+    th = threading.Thread(target=read, daemon=True)
+    th.start()
+    th.join(timeout=timeout_s)
+    if "v" in holder:
+        return int(holder["v"]["n"])
+    return df.count()
+
+
 def overwrite_where(
     table: LakeTable,
     replacement: DataFrame,
@@ -144,31 +165,31 @@ def _overwrite_where_once(
         existing = table.read(snap=snap)
         existing = existing.select(*alignment_columns(existing, target))
     survivors = existing.filter(~predicate)
-    # r7: materialize the replacement ONCE — the old shape ran
-    # `fresh.count()` and then the write, each executing the full
-    # replacement pipeline (for an interval sync that is the whole report
-    # aggregation, twice per interval — the guide-§1.4 count trap). A lazy
-    # persist makes the count job double as the materialization (2 Spark
-    # jobs per chunk instead of 3); the write reads the cached blocks and
-    # the cache is dropped right after. An Observation on the write was
-    # rejected: AQE's empty-relation propagation prunes CollectMetrics
-    # when the replacement is empty (a no-rows interval), which would
-    # hang the metrics read (the merge kernel documents the same hazard).
-    from pyspark import StorageLevel
+    # r7: ONE Spark job per chunk. The old shape ran `fresh.count()` and
+    # then the write, each executing the full replacement pipeline (for
+    # an interval sync that is the whole report aggregation, twice per
+    # interval — the guide-§1.4 count trap). The inserted-row count now
+    # rides the write job as an Observation on the replacement branch.
+    # Empty-branch safety was verified empirically on this Spark version
+    # for exactly this plan shape (observe -> union -> repartition ->
+    # parquet write): a runtime-empty AND a statically-empty replacement
+    # both deliver {'n': 0} rather than losing the CollectMetrics node
+    # (the hazard the merge kernel documents for AQE-emptied branches);
+    # `_observed_count` still guards the read with a timeout + recompute
+    # fallback so a regression can never hang a sync.
+    from pyspark.sql import Observation
 
+    obs = Observation()
     fresh = replacement.select(
         *alignment_columns(replacement, target)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        n_inserted = fresh.count()
-        result = (
-            survivors.unionByName(fresh)
-            .withColumn(BUCKET_COL, table.bucket_expr(F.col(key)))
-            .repartition(snap.n_buckets, F.col(BUCKET_COL))
-        )
-        new_files = table._write_files(result)
-    finally:
-        fresh.unpersist()
+    ).observe(obs, F.count(F.lit(1)).alias("n"))
+    result = (
+        survivors.unionByName(fresh)
+        .withColumn(BUCKET_COL, table.bucket_expr(F.col(key)))
+        .repartition(snap.n_buckets, F.col(BUCKET_COL))
+    )
+    new_files = table._write_files(result)
+    n_inserted = _observed_count(obs, replacement)
     schemas = dict(snap.schemas)
     sid = snap.current_schema_id
     if plan.changed:
