@@ -235,11 +235,15 @@ def q_ua_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spread(spark, _read(spark, sf_dir, "events").select("event_id"))
     h = F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#ua")))
     idx = _hex_byte(None, h, 1) % 8 + 1
+    # row 0 is the NULL-UA sentinel: an event whose md5 index is NULL (a
+    # NULL event_id) coalesces to it and gets the operator's defaults
+    # ("Other"/empty), exactly what parsing a NULL UA per event produced
     dim = spark.createDataFrame(
-        [(i + 1, u) for i, u in enumerate(_UA_LIST)], "ua_idx int, user_agent string"
+        [(0, None)] + [(i + 1, u) for i, u in enumerate(_UA_LIST)],
+        "ua_idx int, user_agent string",
     )
     parsed = with_parsed_ua(dim, "user_agent")
-    out = e.withColumn("_uaidx", idx).join(
+    out = e.withColumn("_uaidx", F.coalesce(idx, F.lit(0))).join(
         F.broadcast(parsed), F.col("_uaidx") == F.col("ua_idx")
     )
     return out.select(

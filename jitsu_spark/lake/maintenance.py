@@ -180,13 +180,29 @@ def _overwrite_where_once(
     from pyspark.sql import Observation
 
     obs = Observation()
+    # The replacement rows are tagged and counted ABOVE the repartition
+    # exchange (self-review r7): a CollectMetrics below a shuffle is an
+    # accumulator in a map stage, and re-executed map tasks (fetch
+    # failure on a cluster) would double-count; above the exchange the
+    # count rides the result stage, whose successful-task updates Spark
+    # applies exactly once (speculative execution, off by default, is
+    # the remaining caveat). The tag is dropped before the write so the
+    # file schema is unchanged.
     fresh = replacement.select(
         *alignment_columns(replacement, target)
-    ).observe(obs, F.count(F.lit(1)).alias("n"))
+    ).withColumn("_ow_fresh", F.lit(True))
     result = (
-        survivors.unionByName(fresh)
+        survivors.withColumn("_ow_fresh", F.lit(False))
+        .unionByName(fresh)
         .withColumn(BUCKET_COL, table.bucket_expr(F.col(key)))
         .repartition(snap.n_buckets, F.col(BUCKET_COL))
+        .observe(
+            obs,
+            F.coalesce(
+                F.sum(F.when(F.col("_ow_fresh"), 1)), F.lit(0)
+            ).alias("n"),
+        )
+        .drop("_ow_fresh")
     )
     new_files = table._write_files(result)
     n_inserted = _observed_count(obs, replacement)

@@ -31,6 +31,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import subprocess
 from dataclasses import dataclass, field
 
@@ -50,6 +51,13 @@ SRC_VALUE = "source"
 #: these would produce duplicate/ambiguous columns in the merge batch, so
 #: it is rejected at SCHEMA time (before any record merges)
 RESERVED_COLUMNS = frozenset({"event_id", "src", "_record_version", "seq", "op"})
+
+#: tolerant RECORD sniff for lines strict json.loads rejects (see the
+#: portion loop) — captures the stream name of a record-shaped prefix
+_RECORD_FALLBACK_RE = re.compile(
+    r'"type"\s*:\s*"RECORD".*?"stream"\s*:\s*"([^"]+)"'
+    r'|"stream"\s*:\s*"([^"]+)".*?"type"\s*:\s*"RECORD"'
+)
 
 
 def selected_streams(catalog: dict) -> set[str]:
@@ -299,10 +307,23 @@ class SingerTapJob:
         schema_msgs: list[tuple[int, str, dict]] = []
         activate_msgs: list[tuple[int, str, int]] = []
         present_set: dict[object, None] = {}
+        maybe_present: dict[object, None] = {}
         for i, ln in enumerate(lines):
             try:
                 msg = json.loads(ln)
             except ValueError:
+                # strict-vs-streaming parser divergence guard (self-review
+                # r7): a line Python's json rejects (e.g. trailing bytes)
+                # can still be classified as a RECORD by the Spark side's
+                # get_json_object, and a stream whose only record lines
+                # are such would otherwise never enter `present` and
+                # silently skip its merge. These go into a tentative set:
+                # merged only when the stream has SCHEMA metadata, so a
+                # chatter line that merely LOOKS record-ish can never
+                # fabricate a before-SCHEMA error.
+                m = _RECORD_FALLBACK_RE.search(ln)
+                if m:
+                    maybe_present.setdefault(m.group(1) or m.group(2))
                 continue
             if not isinstance(msg, dict):
                 continue
@@ -345,6 +366,9 @@ class SingerTapJob:
                 schema=schema,
                 key_properties=list(kp) if isinstance(kp, list) else [],
             )
+        for s in maybe_present:
+            if s not in present_set and s in self.streams:
+                present_set.setdefault(s)
         present = [
             s for s in present_set if selected is None or s in selected
         ]

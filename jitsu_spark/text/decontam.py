@@ -12,18 +12,15 @@ Scale shape (the part that matters at 100 TB):
 - the BENCHMARK side is small by definition (eval sets are thousands of
   documents), so its distinct shingle set is broadcast — the corpus scan
   never shuffles to discover hits;
-- corpus shingles explode only into the broadcast-hash-join probe, and
-  the per-doc hit count is a partial-combine aggregate of the (rare)
-  matching rows — shuffle volume is O(contaminated shingles), not
-  O(corpus shingles);
-- the final left join attaches hit counts back to one row per doc. The
-  hit-count side is one row per CONTAMINATED DOC — which is NOT bounded
-  by the bench shingle count (one common bench trigram can hit 10^7
-  corpus docs), so it is never force-broadcast by default; AQE converts
-  the join to broadcast at runtime when the hit frame is actually small
-  (the common case), which is the decision made from real sizes instead
-  of a wrong proxy. Pass ``broadcast_hits=True`` only when the caller
-  KNOWS the contaminated-doc count is bounded.
+- corpus shingles explode ONCE into a left broadcast-hash-join probe,
+  and BOTH per-doc outputs (shingle-set size and hit count) fall out of
+  a single partial-combining aggregate — shuffle volume is one row per
+  (doc, distinct shingle) reduced map-side to one row per doc per task
+  (r7 shape; the earlier two-branch form shingled the corpus twice and
+  re-joined the hit counts);
+- ``broadcast_hits`` is retained for API compatibility but is a no-op
+  in this shape: the hit count is aggregated inline and never becomes a
+  join side, so there is nothing to (mis)broadcast.
 
 Shingles are joined on ``xxhash64`` of the shingle string by default
 (8-byte keys instead of n-word strings in the broadcast + probe); set

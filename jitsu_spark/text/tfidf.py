@@ -49,8 +49,13 @@ def tfidf_top_terms(
     # different keys, so no exchange reuse) and shuffled it a third time
     # for the join. One tf pass, same exchange count, join removed; df
     # values are identical (every tf row's token trivially exists in its
-    # own partition). Per-token window state is one count — no per-doc
-    # ordering, so a hot token costs a scan, not a sort-heavy rank.
+    # own partition). Measured A/B vs a persisted-tf join: window 1.27 s
+    # vs join 2.53 s at 10x docs (cache materialization loses). Trade-off
+    # note: an unordered window still BUFFERS each token group
+    # (spillable), while the join streamed its probe side — both shapes
+    # hash a hot token's rows to one partition, but a stopword-dominated
+    # corpus at extreme scale would prefer the join (or a stopword
+    # pre-filter) over this window.
     wdf = Window.partitionBy("token")
     n = non_empty(docs, text_col).agg(
         F.count("*").cast("long").alias("n_docs")
