@@ -261,8 +261,56 @@ class SingerTapJob:
         self.tables[stream] = t
         return t
 
+    @staticmethod
+    def _fresh_control() -> dict:
+        """Per-portion control-plane accumulators (SCHEMA / ACTIVATE /
+        RECORD stream presence) — filled line-by-line as the run loop
+        consumes the tap, O(1) state per control line."""
+        return {"schemas": [], "activates": [], "present": {}, "maybe": {}}
+
+    @staticmethod
+    def _classify_control(ctl: dict, i: int, ln: str, msg) -> None:
+        """Classify one tap line into ``ctl``. ``msg`` is the
+        json.loads result, or None when parsing failed (the tolerant
+        RECORD sniff then applies — see the maybe/present merge in
+        _apply_portion). Mirrors split_singer_messages: only JSON objects
+        with a ``type`` field count; stream values are normalized to
+        get_json_object's scalar rendering."""
+        if msg is None:
+            # strict-vs-streaming parser divergence guard (self-review
+            # r7): a line Python's json rejects (e.g. trailing bytes)
+            # can still be classified as a RECORD by the Spark side's
+            # get_json_object, and a stream whose only record lines are
+            # such would otherwise never enter `present` and silently
+            # skip its merge. Tentative: merged only when the stream has
+            # SCHEMA metadata, so record-ish chatter can never fabricate
+            # a before-SCHEMA error.
+            m = _RECORD_FALLBACK_RE.search(ln)
+            if m:
+                ctl["maybe"].setdefault(m.group(1) or m.group(2))
+            return
+        if not isinstance(msg, dict):
+            return
+        mtype = msg.get("type")
+        s = msg.get("stream")
+        if s is not None and not isinstance(s, str):
+            s = json.dumps(s)  # get_json_object's scalar rendering
+        if mtype == "RECORD":
+            ctl["present"].setdefault(s)
+        elif mtype == "SCHEMA":
+            ctl["schemas"].append((i, s, msg))
+        elif mtype == "ACTIVATE_VERSION":
+            v = msg.get("version")
+            if isinstance(v, bool):
+                return
+            try:
+                ctl["activates"].append((i, s, int(v)))
+            except (TypeError, ValueError):
+                return
+
     def _apply_portion(
-        self, lines: list[str], portion_no: int, data_sig: str
+        self, lines: list[str], portion_no: int, data_sig: str,
+        control: dict | None = None,
     ) -> dict[str, int]:
         """Parse one portion columnar-ly and MERGE each stream's records.
 
@@ -292,57 +340,28 @@ class SingerTapJob:
         )
 
         # r7: the portion's CONTROL messages (SCHEMA / ACTIVATE_VERSION /
-        # which streams have RECORDs) are parsed DRIVER-side from the
-        # lines the run loop already holds — the previous shape ran three
-        # whole-spool Spark jobs per portion just to collect a handful of
-        # control rows (schemas.collect, records.distinct.collect,
-        # activates.collect), and per-portion job count, not data volume,
-        # dominates tap wall time (measured ~1.8 s/portion at 10k
-        # records). Classification mirrors split_singer_messages: a line
-        # counts only if it is a JSON OBJECT with a ``type`` field; stream
-        # values are normalized to get_json_object's string form. RECORD
-        # volume still flows through Spark (spool -> columnar parse ->
-        # distributed MERGE) — only the O(1)-per-portion control plane
-        # moved to the driver.
-        schema_msgs: list[tuple[int, str, dict]] = []
-        activate_msgs: list[tuple[int, str, int]] = []
-        present_set: dict[object, None] = {}
-        maybe_present: dict[object, None] = {}
-        for i, ln in enumerate(lines):
-            try:
-                msg = json.loads(ln)
-            except ValueError:
-                # strict-vs-streaming parser divergence guard (self-review
-                # r7): a line Python's json rejects (e.g. trailing bytes)
-                # can still be classified as a RECORD by the Spark side's
-                # get_json_object, and a stream whose only record lines
-                # are such would otherwise never enter `present` and
-                # silently skip its merge. These go into a tentative set:
-                # merged only when the stream has SCHEMA metadata, so a
-                # chatter line that merely LOOKS record-ish can never
-                # fabricate a before-SCHEMA error.
-                m = _RECORD_FALLBACK_RE.search(ln)
-                if m:
-                    maybe_present.setdefault(m.group(1) or m.group(2))
-                continue
-            if not isinstance(msg, dict):
-                continue
-            mtype = msg.get("type")
-            s = msg.get("stream")
-            if s is not None and not isinstance(s, str):
-                s = json.dumps(s)  # get_json_object's scalar rendering
-            if mtype == "RECORD":
-                present_set.setdefault(s)
-            elif mtype == "SCHEMA":
-                schema_msgs.append((i, s, msg))
-            elif mtype == "ACTIVATE_VERSION":
-                v = msg.get("version")
-                if isinstance(v, bool):
-                    continue
+        # which streams have RECORDs) are parsed DRIVER-side — the
+        # previous shape ran three whole-spool Spark jobs per portion
+        # just to collect a handful of control rows (schemas.collect,
+        # records.distinct.collect, activates.collect), and per-portion
+        # job count, not data volume, dominates tap wall time. The run
+        # loop (which json.loads every line anyway) accumulates the
+        # control plane as lines arrive and passes it in; a direct
+        # caller without one gets the same classification from a local
+        # pass. RECORD volume still flows through Spark (spool ->
+        # columnar parse -> distributed MERGE).
+        if control is None:
+            control = self._fresh_control()
+            for i, ln in enumerate(lines):
                 try:
-                    activate_msgs.append((i, s, int(v)))
-                except (TypeError, ValueError):
-                    continue
+                    msg = json.loads(ln)
+                except ValueError:
+                    msg = None
+                self._classify_control(control, i, ln, msg)
+        schema_msgs = control["schemas"]
+        activate_msgs = control["activates"]
+        present_set = control["present"]
+        maybe_present = control["maybe"]
 
         # SCHEMA messages update per-stream metadata. Applied in line
         # order: two SCHEMA messages for one stream in the same portion
@@ -527,6 +546,7 @@ class SingerTapJob:
         )
         pending: list[str] = []
         pending_has_records = False
+        ctl = self._fresh_control()
 
         # portion identity digest: starting bookmark + RECORD/STATE lines
         def fresh_digest(base: str | None):
@@ -545,6 +565,7 @@ class SingerTapJob:
                     msg = json.loads(line)
                 except ValueError:
                     msg = None  # non-JSON chatter: dead-letters in the parser
+                self._classify_control(ctl, len(pending) - 1, line, msg)
                 if isinstance(msg, dict):  # scalar JSON lines are chatter too
                     mtype = msg.get("type")
                     is_state = mtype == "STATE"
@@ -554,7 +575,8 @@ class SingerTapJob:
                         digest.update(line.encode())
                 if is_state or len(pending) >= self.max_portion_lines:
                     counts = self._apply_portion(
-                        pending, report.portions, digest.hexdigest()[:16]
+                        pending, report.portions, digest.hexdigest()[:16],
+                        control=ctl,
                     )
                     self.applied_portions += 1
                     self._maybe_compact()
@@ -573,6 +595,7 @@ class SingerTapJob:
                     report.portions += 1
                     pending = []
                     pending_has_records = False
+                    ctl = self._fresh_control()
         finally:
             proc.stdout.close()
             report.tap_exit_code = proc.wait()
@@ -587,7 +610,8 @@ class SingerTapJob:
             # redelivery on the next run is absorbed by the batch-id skip
             # (deterministic tap) or the idempotent LWW merge
             counts = self._apply_portion(
-                pending, report.portions, digest.hexdigest()[:16]
+                pending, report.portions, digest.hexdigest()[:16],
+                control=ctl,
             )
             self.applied_portions += 1
             self._maybe_compact()
