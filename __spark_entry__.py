@@ -832,9 +832,10 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative log-likelihood. The only float step is the per-bigram
     round(-ln(p)*1e8) -> BIGINT; all aggregation is exact integers.
     (r7 note: a multiplicity-weighted train+score restructure was
-    measured and REVERTED — it won 2x at 10x docs but lost ~0.7 s at
-    sf0.1, where the model joins already broadcast; see
-    OPTIMIZATION_r07.md.)"""
+    measured TWICE and reverted both times — before the input spread it
+    won 2x at 10x but lost ~0.7 s at sf0.1; after the spread the
+    standard shape matches it at 10x too, so the restructure carries
+    only complexity. See OPTIMIZATION_r07.md.)"""
     from jitsu_spark.text.lm import bigram_model, score_documents
 
     d = _spread_big(spark, sf_dir, "documents", _read(spark, sf_dir, "documents").select("doc_id", "text"))
