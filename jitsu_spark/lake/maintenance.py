@@ -187,22 +187,27 @@ def _overwrite_where_once(
     # count rides the result stage, whose successful-task updates Spark
     # applies exactly once (speculative execution, off by default, is
     # the remaining caveat). The tag is dropped before the write so the
-    # file schema is unchanged.
+    # file schema is unchanged; its name is derived to never collide
+    # with a real table column (withColumn REPLACES same-named columns).
+    tag = "_ow_fresh"
+    taken = {f.name for f in target.fields}
+    while tag in taken:
+        tag += "_"
     fresh = replacement.select(
         *alignment_columns(replacement, target)
-    ).withColumn("_ow_fresh", F.lit(True))
+    ).withColumn(tag, F.lit(True))
     result = (
-        survivors.withColumn("_ow_fresh", F.lit(False))
+        survivors.withColumn(tag, F.lit(False))
         .unionByName(fresh)
         .withColumn(BUCKET_COL, table.bucket_expr(F.col(key)))
         .repartition(snap.n_buckets, F.col(BUCKET_COL))
         .observe(
             obs,
             F.coalesce(
-                F.sum(F.when(F.col("_ow_fresh"), 1)), F.lit(0)
+                F.sum(F.when(F.col(tag), 1)), F.lit(0)
             ).alias("n"),
         )
-        .drop("_ow_fresh")
+        .drop(tag)
     )
     new_files = table._write_files(result)
     n_inserted = _observed_count(obs, replacement)

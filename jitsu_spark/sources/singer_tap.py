@@ -287,7 +287,15 @@ class SingerTapJob:
             # a before-SCHEMA error.
             m = _RECORD_FALLBACK_RE.search(ln)
             if m:
-                ctl["maybe"].setdefault(m.group(1) or m.group(2))
+                raw = m.group(1) or m.group(2)
+                # the Spark-side parser returns the DECODED stream name
+                # (e.g. café -> café), so decode JSON escapes from
+                # the raw capture before matching self.streams keys
+                try:
+                    raw = json.loads(f'"{raw}"')
+                except ValueError:
+                    pass
+                ctl["maybe"].setdefault(raw)
             return
         if not isinstance(msg, dict):
             return
@@ -392,7 +400,10 @@ class SingerTapJob:
             s for s in present_set if selected is None or s in selected
         ]
         state_sig = data_sig
-        for stream in sorted(present):
+        # None sorts first (a RECORD with no stream field) instead of
+        # raising TypeError against string names; it then hits the
+        # before-SCHEMA guard below with a meaningful error
+        for stream in sorted(present, key=lambda s: (s is not None, s or "")):
             meta = self.streams.get(stream)
             if meta is None:
                 raise ValueError(
@@ -605,10 +616,12 @@ class SingerTapJob:
             raise RuntimeError(
                 f"singer tap exited with {report.tap_exit_code}"
             )
-        if pending and pending_has_records:
-            # trailing records after the last STATE: store them; their
-            # redelivery on the next run is absorbed by the batch-id skip
-            # (deterministic tap) or the idempotent LWW merge
+        if pending and (pending_has_records or ctl["maybe"]):
+            # trailing records after the last STATE (including
+            # fallback-sniffed ones the strict parser rejected): store
+            # them; their redelivery on the next run is absorbed by the
+            # batch-id skip (deterministic tap) or the idempotent LWW
+            # merge
             counts = self._apply_portion(
                 pending, report.portions, digest.hexdigest()[:16],
                 control=ctl,

@@ -1756,3 +1756,60 @@ def test_interval_page_spool_layout_and_job_isolation(spark, tmpdir_path):
                             page_spool_dir=spool)
     job_c._spool_pages(spark, itv, sig)
     assert len(drv_c.page_log) == 3  # nothing served from job lj's spool
+
+
+def test_singer_lenient_record_lines_still_merge(spark, tmpdir_path):
+    """Parser-divergence guard (r7): a RECORD line with trailing bytes is
+    rejected by strict json.loads but ACCEPTED by the Spark-side
+    get_json_object classifier (premise pinned here), so the driver-side
+    control plane must still mark the stream present — both mid-portion
+    and in the trailing no-STATE tail — or those records silently skip
+    their merge. Chatter that merely LOOKS record-ish must stay inert."""
+    import os
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from jitsu_spark.sources.singer_tap import SingerTapJob
+
+    # premise: Spark's streaming JSON path accepts trailing bytes
+    probe = spark.createDataFrame(
+        [('{"type":"RECORD","stream":"s","record":{"id":9}}x',)], "value string"
+    ).select(F.get_json_object("value", "$.type").alias("t")).collect()
+    assert probe[0]["t"] == "RECORD"
+
+    tap = os.path.join(tmpdir_path, "lenient_tap.py")
+    with open(tap, "w") as f:
+        f.write(
+            "import json\n"
+            "print(json.dumps({'type': 'SCHEMA', 'stream': 's',"
+            " 'schema': {'properties': {'id': {'type': 'integer'}}},"
+            " 'key_properties': ['id']}))\n"
+            "print(json.dumps({'type': 'RECORD', 'stream': 's',"
+            " 'record': {'id': 1}}))\n"
+            # trailing byte: json.loads rejects, get_json_object accepts
+            "print(json.dumps({'type': 'RECORD', 'stream': 's',"
+            " 'record': {'id': 2}}) + 'x')\n"
+            # record-ish chatter for an UNKNOWN stream: must be ignored
+            "print('log: ' + json.dumps({'type': 'RECORD',"
+            " 'stream': 'ghost'}) + ' seen')\n"
+            "print(json.dumps({'type': 'STATE', 'value': {'b': 1}}))\n"
+            # tail after the last STATE holding ONLY a lenient record:
+            # the portion gate must still fire
+            "print(json.dumps({'type': 'RECORD', 'stream': 's',"
+            " 'record': {'id': 3}}) + 'y')\n"
+        )
+    job = SingerTapJob(
+        spark=spark,
+        tap_cmd=[sys.executable, tap],
+        work_dir=os.path.join(tmpdir_path, "lwork"),
+        tables_root=os.path.join(tmpdir_path, "ltables"),
+        job_id="singer-lenient",
+    )
+    rep = job.run_once()
+    assert rep.tap_exit_code == 0
+    ids = sorted(
+        r["id"] for r in job.tables["s"].read().select("id").collect()
+    )
+    assert ids == [1, 2, 3]
+    assert "ghost" not in job.tables
